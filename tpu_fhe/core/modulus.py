@@ -1,0 +1,119 @@
+"""Modulus and coefficient-modulus creation (host side, exact arithmetic).
+
+Mirrors the behavioural contract of the reference's Modulus/CoeffModulus
+layer (/root/reference/include/host/modulus.h, src/host/modulus.cu): 61-bit
+max NTT-friendly primes, Barrett const ratios (floor(2^128/q) as two 64-bit
+words + remainder), HomomorphicEncryption.org security tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import numth
+
+MOD_BIT_COUNT_MAX = 61
+USER_MOD_BIT_COUNT_MIN = 2
+USER_MOD_BIT_COUNT_MAX = 60
+POLY_MOD_DEGREE_MIN = 2
+POLY_MOD_DEGREE_MAX = 131072
+COEFF_MOD_COUNT_MAX = 64
+
+
+@dataclass(frozen=True)
+class Modulus:
+    """A word-size modulus (< 2^61) with Barrett precomputation.
+
+    const_ratio = (lo, hi, rem) where floor(2^128 / q) = hi*2^64 + lo and
+    rem = 2^128 mod q — identical contract to the reference's
+    Modulus::const_ratio() (src/host/modulus.cu:29-42).
+    """
+
+    value: int
+    const_ratio: tuple[int, int, int] = field(init=False)
+    bit_count: int = field(init=False)
+    is_prime: bool = field(init=False)
+
+    def __post_init__(self):
+        v = self.value
+        if v == 0:
+            object.__setattr__(self, "const_ratio", (0, 0, 0))
+            object.__setattr__(self, "bit_count", 0)
+            object.__setattr__(self, "is_prime", False)
+            return
+        if v >> MOD_BIT_COUNT_MAX != 0 or v == 1:
+            raise ValueError("modulus can be at most 61-bit and cannot be 1")
+        quotient, rem = divmod(1 << 128, v)
+        object.__setattr__(
+            self,
+            "const_ratio",
+            (quotient & 0xFFFFFFFFFFFFFFFF, (quotient >> 64) & 0xFFFFFFFFFFFFFFFF, rem),
+        )
+        object.__setattr__(self, "bit_count", v.bit_length())
+        object.__setattr__(self, "is_prime", numth.is_prime(v))
+
+    def reduce(self, value: int) -> int:
+        return value % self.value
+
+    def __int__(self) -> int:
+        return self.value
+
+
+# HomomorphicEncryption.org standard tables: max total log q bits for a given
+# N at 128/192/256-bit security with ternary secret
+# (reference: include/host/hestdparms.h:14-33).
+_HE_STD_128_TC = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
+_HE_STD_192_TC = {1024: 19, 2048: 37, 4096: 75, 8192: 152, 16384: 305, 32768: 611}
+_HE_STD_256_TC = {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476}
+
+
+def he_std_parms(poly_modulus_degree: int, sec_level: int = 128) -> int:
+    table = {128: _HE_STD_128_TC, 192: _HE_STD_192_TC, 256: _HE_STD_256_TC}[sec_level]
+    return table.get(poly_modulus_degree, 0)
+
+
+class CoeffModulus:
+    """Static factory for RNS coefficient-modulus chains."""
+
+    @staticmethod
+    def max_bit_count(poly_modulus_degree: int, sec_level: int = 128) -> int:
+        if sec_level == 0:
+            return 1 << 30
+        return he_std_parms(poly_modulus_degree, sec_level)
+
+    @staticmethod
+    def create(poly_modulus_degree: int, bit_sizes: list[int]) -> list[Modulus]:
+        """Distinct NTT-friendly primes with the requested bit sizes.
+
+        Same allocation discipline as the reference (src/host/modulus.cu:80-112):
+        group the request by bit size, generate count-per-size primes via the
+        deterministic descending search, then hand them back in request order
+        (taking from the back of each per-size pool).
+        """
+        n = poly_modulus_degree
+        if n > POLY_MOD_DEGREE_MAX or n < POLY_MOD_DEGREE_MIN or n & (n - 1):
+            raise ValueError("poly_modulus_degree is invalid")
+        if len(bit_sizes) > COEFF_MOD_COUNT_MAX:
+            raise ValueError("bit_sizes is invalid")
+        if bit_sizes and (
+            max(bit_sizes) > USER_MOD_BIT_COUNT_MAX or min(bit_sizes) < USER_MOD_BIT_COUNT_MIN
+        ):
+            raise ValueError("bit_sizes entries out of bounds")
+
+        count_table: dict[int, int] = {}
+        for size in bit_sizes:
+            count_table[size] = count_table.get(size, 0) + 1
+        prime_table = {
+            size: numth.get_primes(n, size, count) for size, count in count_table.items()
+        }
+        result = []
+        for size in bit_sizes:
+            result.append(Modulus(prime_table[size].pop()))
+        return result
+
+
+class PlainModulus:
+    @staticmethod
+    def batching(poly_modulus_degree: int, bit_size: int) -> Modulus:
+        """Prime t = 1 mod 2N supporting batching (reference: modulus.h)."""
+        return Modulus(numth.get_primes(poly_modulus_degree, bit_size, 1)[0])

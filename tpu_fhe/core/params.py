@@ -1,0 +1,83 @@
+"""Encryption parameters (scheme, ring degree, modulus chain, multiplication
+technique) — behavioural mirror of the reference's EncryptionParameters
+(include/host/encryptionparams.h:13-246), re-shaped as a frozen dataclass.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from .modulus import Modulus
+
+
+class SchemeType(enum.Enum):
+    none = 0
+    bfv = 1
+    ckks = 2
+    bgv = 3
+
+
+class MulTech(enum.Enum):
+    """BFV multiplication technique (include/host/encryptionparams.h)."""
+
+    none = 0
+    behz = 1
+    hps = 2
+    hps_overq = 3
+    hps_overq_leveled = 4
+
+
+@dataclass(frozen=True)
+class EncryptionParameters:
+    scheme: SchemeType
+    poly_modulus_degree: int
+    coeff_modulus: tuple[Modulus, ...]
+    # Number of trailing special (key-switching) primes P; hybrid KS.
+    special_modulus_size: int = 1
+    plain_modulus: Modulus | None = None
+    mul_tech: MulTech = MulTech.behz
+    # Rotation steps for which Galois keys will be generated (optional hint).
+    galois_steps: tuple[int, ...] = field(default_factory=tuple)
+
+    def __post_init__(self):
+        n = self.poly_modulus_degree
+        if n & (n - 1) or n < 2:
+            raise ValueError("poly_modulus_degree must be a power of two >= 2")
+        if self.special_modulus_size < 1:
+            raise ValueError("special_modulus_size must be >= 1 (hybrid KS)")
+        if self.special_modulus_size >= len(self.coeff_modulus):
+            raise ValueError("special_modulus_size must leave at least one data prime")
+        if self.scheme in (SchemeType.bfv, SchemeType.bgv) and self.plain_modulus is None:
+            raise ValueError("BFV/BGV require a plain modulus")
+        values = [m.value for m in self.coeff_modulus]
+        if len(set(values)) != len(values):
+            raise ValueError("coeff modulus primes must be distinct")
+
+    @property
+    def log_n(self) -> int:
+        return self.poly_modulus_degree.bit_length() - 1
+
+    @property
+    def size_P(self) -> int:
+        return self.special_modulus_size
+
+    @property
+    def size_QP(self) -> int:
+        return len(self.coeff_modulus)
+
+    @property
+    def size_Q(self) -> int:
+        return self.size_QP - self.size_P
+
+    @property
+    def key_modulus(self) -> tuple[Modulus, ...]:
+        return self.coeff_modulus
+
+    @property
+    def q_moduli(self) -> tuple[Modulus, ...]:
+        return self.coeff_modulus[: self.size_Q]
+
+    @property
+    def p_moduli(self) -> tuple[Modulus, ...]:
+        return self.coeff_modulus[self.size_Q:]

@@ -1,0 +1,176 @@
+"""Negacyclic NTT / inverse NTT over RNS limbs (jnp, fully vectorized).
+
+TPU-first design: each radix-2 stage is a reshape + broadcast butterfly over
+the whole (L, N) limb plane — no gathers, no data-dependent control flow, so
+XLA fuses each stage into one vector pass.  The stage structure (Harvey
+iteration with bit-reversed twiddles, lazy Shoup multiplication) matches the
+reference's 1D/2D kernels semantically (src/ntt/*.cu) while the N1xN2
+phase decomposition lives in the Pallas kernel and the sharded (multi-chip)
+path in tpu_fhe.parallel.
+
+All transforms are exact: tested bit-identical per limb against the Python
+golden NTT (core/ntt_tables.golden_forward_ntt).
+
+Twiddle table layout per limb (shape (L, N) each):
+  roots[l, m + i]      = psi_l^{reverse_bits(m+i)}  (SEAL layout)
+  roots_shoup[l, ...]  = floor(roots * 2^64 / q_l)
+The same bit-reversed layout means stage m consumes the contiguous slice
+[m, 2m) — no reordering needed on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ntt_tables import NTTTables, compute_shoup
+from . import modmath as mm
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DeviceNTTTables:
+    """Per-limb twiddle tables resident on device.
+
+    All arrays have leading limb axis L; data polys are (..., L, N).
+    """
+
+    q: jnp.ndarray            # (L, 1) uint64 modulus values
+    ratio_lo: jnp.ndarray     # (L, 1) Barrett floor(2^128/q) low word
+    ratio_hi: jnp.ndarray     # (L, 1) Barrett high word
+    roots: jnp.ndarray        # (L, N) forward twiddles, bit-reversed order
+    roots_shoup: jnp.ndarray  # (L, N)
+    inv_roots: jnp.ndarray    # (L, N) inverse twiddles, bit-reversed order
+    inv_roots_shoup: jnp.ndarray
+    inv_degree: jnp.ndarray   # (L, 1) n^{-1} mod q
+    inv_degree_shoup: jnp.ndarray
+
+    def tree_flatten(self):
+        children = (
+            self.q, self.ratio_lo, self.ratio_hi, self.roots, self.roots_shoup,
+            self.inv_roots, self.inv_roots_shoup, self.inv_degree,
+            self.inv_degree_shoup,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n(self) -> int:
+        return self.roots.shape[-1]
+
+    @property
+    def num_limbs(self) -> int:
+        return self.roots.shape[0]
+
+    def slice_limbs(self, indices: list[int]) -> "DeviceNTTTables":
+        idx = np.asarray(indices)
+        return DeviceNTTTables(
+            q=self.q[idx], ratio_lo=self.ratio_lo[idx], ratio_hi=self.ratio_hi[idx],
+            roots=self.roots[idx], roots_shoup=self.roots_shoup[idx],
+            inv_roots=self.inv_roots[idx], inv_roots_shoup=self.inv_roots_shoup[idx],
+            inv_degree=self.inv_degree[idx],
+            inv_degree_shoup=self.inv_degree_shoup[idx],
+        )
+
+
+def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
+    """Pack host twiddle tables (one per RNS limb) into device arrays."""
+    n = tables[0].n
+    qs = [t.modulus.value for t in tables]
+
+    def arr2(vals):
+        return jnp.asarray(np.asarray(vals, dtype=np.uint64).reshape(len(tables), -1))
+
+    roots = np.array([t.root_powers for t in tables], dtype=np.uint64)
+    inv_roots = np.array([t.inv_root_powers for t in tables], dtype=np.uint64)
+    roots_shoup = np.array(
+        [[compute_shoup(w, t.modulus.value) for w in t.root_powers] for t in tables],
+        dtype=np.uint64,
+    )
+    inv_roots_shoup = np.array(
+        [[compute_shoup(w, t.modulus.value) for w in t.inv_root_powers] for t in tables],
+        dtype=np.uint64,
+    )
+    return DeviceNTTTables(
+        q=arr2([[q] for q in qs]),
+        ratio_lo=arr2([[t.modulus.const_ratio[0]] for t in tables]),
+        ratio_hi=arr2([[t.modulus.const_ratio[1]] for t in tables]),
+        roots=jnp.asarray(roots),
+        roots_shoup=jnp.asarray(roots_shoup),
+        inv_roots=jnp.asarray(inv_roots),
+        inv_roots_shoup=jnp.asarray(inv_roots_shoup),
+        inv_degree=arr2([[t.inv_degree] for t in tables]),
+        inv_degree_shoup=arr2(
+            [[compute_shoup(t.inv_degree, t.modulus.value)] for t in tables]
+        ),
+    )
+
+
+def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
+    """Forward negacyclic NTT over the last axis.
+
+    x: (..., L, N) uint64 in [0, q).  Returns same shape/order as the golden
+    transform (evaluation at psi^(2*br(i)+1)).
+    """
+    n = t.n
+    log_n = n.bit_length() - 1
+    lead = x.shape[:-1]  # (..., L)
+    q = t.q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+    two_q = q * 2
+
+    m = 1
+    tt = n
+    while m < n:
+        tt >>= 1
+        # twiddles for this stage: slice [m, 2m) of bit-reversed table
+        w = jax.lax.slice_in_dim(t.roots, m, 2 * m, axis=1)
+        ws = jax.lax.slice_in_dim(t.roots_shoup, m, 2 * m, axis=1)
+        w = w.reshape((1,) * (len(lead) - 1) + (t.num_limbs, m, 1, 1))
+        ws = ws.reshape(w.shape)
+        xr = x.reshape(lead + (m, 2, tt))
+        a = xr[..., 0, :]
+        b = xr[..., 1, :]
+        qb = q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1, 1))
+        v = mm.mul_mod_shoup_lazy(b, w[..., 0, :], ws[..., 0, :], qb)  # [0,2q)
+        v = mm.csub(v, qb)
+        a_new = mm.add_mod(a, v, qb)
+        b_new = mm.sub_mod(a, v, qb)
+        x = jnp.stack([a_new, b_new], axis=-2).reshape(lead + (n,))
+        m <<= 1
+    return x
+
+
+def inverse_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
+    """Inverse negacyclic NTT over the last axis (includes the 1/n scale)."""
+    n = t.n
+    lead = x.shape[:-1]
+    q = t.q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+
+    m = n
+    tt = 1
+    while m > 1:
+        h = m >> 1
+        w = jax.lax.slice_in_dim(t.inv_roots, h, m, axis=1)
+        ws = jax.lax.slice_in_dim(t.inv_roots_shoup, h, m, axis=1)
+        w = w.reshape((1,) * (len(lead) - 1) + (t.num_limbs, h, 1, 1))
+        ws = ws.reshape(w.shape)
+        xr = x.reshape(lead + (h, 2, tt))
+        a = xr[..., 0, :]
+        b = xr[..., 1, :]
+        qb = q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1, 1))
+        u = mm.add_mod(a, b, qb)
+        d = mm.sub_mod(a, b, qb)
+        v = mm.mul_mod_shoup(d, w[..., 0, :], ws[..., 0, :], qb)
+        x = jnp.stack([u, v], axis=-2).reshape(lead + (n,))
+        tt <<= 1
+        m = h
+    inv_n = t.inv_degree.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+    inv_n_shoup = t.inv_degree_shoup.reshape(inv_n.shape)
+    return mm.mul_mod_shoup(x, inv_n, inv_n_shoup, q)
