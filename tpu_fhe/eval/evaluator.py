@@ -1,0 +1,331 @@
+"""Evaluator core: add/sub/mul, hybrid key switching, rescale, rotations.
+
+TPU-native counterpart of the reference's evaluate layer (src/evaluate.cu,
+src/eval_key_switch.cu, src/rns_bconv.cu:530-843, src/rns.cu rescale):
+
+  * tensor products are elementwise NTT-domain modmuls over (L, N) planes;
+  * hybrid key switching = modup (iNTT + per-digit fast basis conversion to
+    the complement of QlP + NTT) -> beta-digit inner product with the evk in
+    128-bit accumulation -> moddown (BEHZ P->Ql conversion + P^{-1} scale);
+  * rescale divides by q_last with round-half-up via the half-lift trick.
+
+All functions are pure; per-chain-index static shapes mean each level
+compiles its own program (jit caches on Ciphertext aux metadata).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import SchemeType
+from ..ops import modmath as mm
+from ..ops.bconv import bconv_matmul
+from ..ops.galois import apply_galois_ntt, conj_elt, galois_elt_from_step
+from ..ops.ntt import forward_ntt, inverse_ntt
+from ..scheme.ciphertext import Ciphertext, Plaintext
+from ..scheme.context import ContextLevel, FheContext
+from ..scheme.keys import GaloisKey, RelinKey
+
+
+# --------------------------------------------------------------------------
+# additive ops
+# --------------------------------------------------------------------------
+
+def _check_compatible(a: Ciphertext, b: Ciphertext):
+    if a.chain_index != b.chain_index:
+        raise ValueError("ciphertexts at different levels; adjust first")
+    if abs(a.scale - b.scale) > 1e-6 * a.scale:
+        raise ValueError("scale mismatch in add/sub")
+
+
+def add(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compatible(a, b)
+    level = ctx.level(a.chain_index)
+    if a.size == b.size:
+        data = mm.add_mod(a.data, b.data, level.mod.q)
+    else:
+        big, small = (a, b) if a.size > b.size else (b, a)
+        head = mm.add_mod(big.data[: small.size], small.data, level.mod.q)
+        data = jnp.concatenate([head, big.data[small.size:]], axis=0)
+    return a.with_data(data)
+
+
+def sub(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compatible(a, b)
+    level = ctx.level(a.chain_index)
+    if a.size == b.size:
+        data = mm.sub_mod(a.data, b.data, level.mod.q)
+    elif a.size > b.size:
+        head = mm.sub_mod(a.data[: b.size], b.data, level.mod.q)
+        data = jnp.concatenate([head, a.data[b.size:]], axis=0)
+    else:
+        head = mm.sub_mod(a.data, b.data[: a.size], level.mod.q)
+        tail = mm.neg_mod(b.data[a.size:], level.mod.q)
+        data = jnp.concatenate([head, tail], axis=0)
+    return a.with_data(data)
+
+
+def negate(ctx: FheContext, a: Ciphertext) -> Ciphertext:
+    level = ctx.level(a.chain_index)
+    return a.with_data(mm.neg_mod(a.data, level.mod.q))
+
+
+def add_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    level = ctx.level(a.chain_index)
+    head = mm.add_mod(a.data[0], pt.data, level.mod.q)
+    return a.with_data(jnp.concatenate([head[None], a.data[1:]], axis=0))
+
+
+def sub_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    level = ctx.level(a.chain_index)
+    head = mm.sub_mod(a.data[0], pt.data, level.mod.q)
+    return a.with_data(jnp.concatenate([head[None], a.data[1:]], axis=0))
+
+
+# --------------------------------------------------------------------------
+# multiplication (CKKS/BGV tensor product, NTT domain)
+# --------------------------------------------------------------------------
+
+def multiply(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """(a0,a1) x (b0,b1) -> (a0b0, a0b1+a1b0, a1b1); scales multiply."""
+    _ = _check_level(a, b)
+    if a.size != 2 or b.size != 2:
+        raise ValueError("multiply expects size-2 ciphertexts (relinearize first)")
+    level = ctx.level(a.chain_index)
+    q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    a0, a1 = a.data[0], a.data[1]
+    b0, b1 = b.data[0], b.data[1]
+    c0 = mm.mul_mod(a0, b0, q, rlo, rhi)
+    c2 = mm.mul_mod(a1, b1, q, rlo, rhi)
+    cross = mm.add_mod(
+        mm.mul_mod(a0, b1, q, rlo, rhi), mm.mul_mod(a1, b0, q, rlo, rhi), q
+    )
+    return replace(
+        a,
+        data=jnp.stack([c0, cross, c2]),
+        scale=a.scale * b.scale,
+        noise_scale_deg=a.noise_scale_deg + b.noise_scale_deg,
+    )
+
+
+def square(ctx: FheContext, a: Ciphertext) -> Ciphertext:
+    level = ctx.level(a.chain_index)
+    q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    a0, a1 = a.data[0], a.data[1]
+    c0 = mm.mul_mod(a0, a0, q, rlo, rhi)
+    c2 = mm.mul_mod(a1, a1, q, rlo, rhi)
+    cross = mm.mul_mod(a0, a1, q, rlo, rhi)
+    cross = mm.add_mod(cross, cross, q)
+    return replace(
+        a,
+        data=jnp.stack([c0, cross, c2]),
+        scale=a.scale * a.scale,
+        noise_scale_deg=a.noise_scale_deg * 2,
+    )
+
+
+def multiply_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    level = ctx.level(a.chain_index)
+    q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    data = mm.mul_mod(a.data, pt.data[None], q, rlo, rhi)
+    return replace(
+        a,
+        data=data,
+        scale=a.scale * pt.scale,
+        noise_scale_deg=a.noise_scale_deg + pt.noise_scale_deg,
+    )
+
+
+def _check_level(a: Ciphertext, b: Ciphertext) -> int:
+    if a.chain_index != b.chain_index:
+        raise ValueError("operands at different chain indices")
+    return a.chain_index
+
+
+# --------------------------------------------------------------------------
+# hybrid key switching (the hot path)
+# --------------------------------------------------------------------------
+
+def modup(ctx: FheContext, level: ContextLevel, c2_ntt: jnp.ndarray) -> jnp.ndarray:
+    """Digit-decompose c2 (NTT, (size_Ql, N)) into (beta, size_QlP, N).
+
+    Mirrors DRNSTool::modup (src/rns_bconv.cu:530-628): iNTT, scale by the
+    per-digit partQlHatInv, fast-convert each digit to the complement of
+    QlP, NTT the converted limbs, and splice the digit's own NTT limbs in
+    unchanged."""
+    ks = level.ks
+    c2_coeff = inverse_ntt(c2_ntt, level.ntt)
+    scaled = mm.mul_mod_shoup(
+        c2_coeff, ks.part_qhatinv, ks.part_qhatinv_shoup, level.mod.q
+    )
+    digits = []
+    for dt in ks.digits:
+        piece = scaled[dt.start:dt.end]
+        conv = bconv_matmul(
+            piece, dt.qhat_mod_p, dt.comp_mod.q, dt.comp_mod.ratio_lo,
+            dt.comp_mod.ratio_hi,
+        )
+        conv_ntt = forward_ntt(conv, dt.comp_ntt)
+        full = jnp.concatenate(
+            [conv_ntt[: dt.start], c2_ntt[dt.start:dt.end], conv_ntt[dt.start:]],
+            axis=0,
+        )
+        digits.append(full)
+    return jnp.stack(digits)
+
+
+def key_inner_product(
+    ctx: FheContext, level: ContextLevel, t_mod_up: jnp.ndarray, key: RelinKey
+) -> jnp.ndarray:
+    """(beta, size_QlP, N) x evk -> (2, size_QlP, N) with 128-bit lazy
+    accumulation (src/eval_key_switch.cu:26-85)."""
+    ks = level.ks
+    size_Ql = level.size
+    size_Q = ctx.params.size_Q
+    evk = key.data  # (dnum, 2, size_QP, N)
+    evk_l = jnp.concatenate(
+        [evk[:, :, :size_Ql, :], evk[:, :, size_Q:, :]], axis=2
+    )  # (dnum, 2, size_QlP, N)
+    beta = ks.beta
+    shape = (2,) + t_mod_up.shape[1:]
+    acc_hi = jnp.zeros(shape, dtype=jnp.uint64)
+    acc_lo = jnp.zeros(shape, dtype=jnp.uint64)
+    for d in range(beta):
+        hi, lo = mm.mul_u64_full(t_mod_up[d][None], evk_l[d])
+        acc_hi, acc_lo = mm.add_u128(acc_hi, acc_lo, hi, lo)
+    qlp = _qlp_mod(level)
+    return mm.barrett_reduce_u128(acc_hi, acc_lo, *qlp)
+
+
+def _qlp_mod(level: ContextLevel):
+    ks = level.ks
+    q = jnp.concatenate([level.mod.q, ks.p_mod.q])
+    rlo = jnp.concatenate([level.mod.ratio_lo, ks.p_mod.ratio_lo])
+    rhi = jnp.concatenate([level.mod.ratio_hi, ks.p_mod.ratio_hi])
+    return q, rlo, rhi
+
+
+def moddown_from_ntt(
+    ctx: FheContext, level: ContextLevel, cx: jnp.ndarray
+) -> jnp.ndarray:
+    """(..., size_QlP, N) NTT -> (..., size_Ql, N) NTT: subtract the BEHZ
+    P->Ql conversion of the P part and scale by P^{-1}
+    (DRNSTool::moddown_from_NTT, src/rns_bconv.cu:791-843)."""
+    ks = level.ks
+    size_Ql = level.size
+    p_part = inverse_ntt(cx[..., size_Ql:, :], ks.p_ntt)
+    scaled = mm.mul_mod_shoup(p_part, ks.p_hatinv, ks.p_hatinv_shoup, ks.p_mod.q)
+    delta = bconv_matmul(
+        scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    )
+    delta_ntt = forward_ntt(delta, level.ntt)
+    diff = mm.sub_mod(cx[..., :size_Ql, :], delta_ntt, level.mod.q)
+    return mm.mul_mod_shoup(
+        diff, ks.big_pinv_mod_q, ks.big_pinv_mod_q_shoup, level.mod.q
+    )
+
+
+def keyswitch_core(
+    ctx: FheContext, level: ContextLevel, c2_ntt: jnp.ndarray, key: RelinKey
+) -> jnp.ndarray:
+    """Full hybrid keyswitch of one polynomial: returns (2, size_Ql, N)."""
+    t_mod_up = modup(ctx, level, c2_ntt)
+    cx = key_inner_product(ctx, level, t_mod_up, key)
+    return moddown_from_ntt(ctx, level, cx)
+
+
+def relinearize(ctx: FheContext, a: Ciphertext, rlk: RelinKey) -> Ciphertext:
+    """size-3 -> size-2 using the relinearization key."""
+    if a.size != 3:
+        raise ValueError("relinearize expects a size-3 ciphertext")
+    level = ctx.level(a.chain_index)
+    delta = keyswitch_core(ctx, level, a.data[2], rlk)
+    data = mm.add_mod(a.data[:2], delta, level.mod.q)
+    return a.with_data(data)
+
+
+# --------------------------------------------------------------------------
+# rescale / mod switch (CKKS)
+# --------------------------------------------------------------------------
+
+def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
+    """Divide by q_last with rounding; drops one limb and one chain level
+    (mirrors divide_and_round_q_last_ntt, src/rns.cu)."""
+    if a.chain_index + 1 >= len(ctx.chain):
+        raise ValueError("already at the last level; cannot rescale")
+    level = ctx.level(a.chain_index)
+    size_Ql = level.size
+    if size_Ql < 2:
+        raise ValueError("no modulus left to rescale")
+    q = level.mod.q
+    q_last = q[-1:]  # (1,1)
+    half = q_last >> 1
+
+    last_coeff = inverse_ntt(a.data[:, -1:, :], level.ntt.slice_limbs([size_Ql - 1]))
+    # add q_last/2 for rounding, then reduce into each remaining q_i
+    last_half = mm.add_mod(last_coeff, half, q_last)
+    rest_mod = ctx.level(a.chain_index + 1).mod
+    reduced = mm.barrett_reduce_u64(
+        last_half, rest_mod.q, rest_mod.ratio_hi
+    )  # (..., 1->broadcast? no: (size,1,N) vs (L-1,1)) -- handled below
+    # broadcast the single limb across remaining limbs
+    reduced = jnp.broadcast_to(
+        reduced, a.data.shape[:-2] + (size_Ql - 1, a.data.shape[-1])
+    )
+    half_mod = mm.barrett_reduce_u64(half, rest_mod.q, rest_mod.ratio_hi)
+    tmp = mm.sub_mod(reduced, half_mod, rest_mod.q)
+    next_level = ctx.level(a.chain_index + 1)
+    tmp_ntt = forward_ntt(tmp, next_level.ntt)
+    diff = mm.sub_mod(a.data[:, :-1, :], tmp_ntt, rest_mod.q)
+    out = mm.mul_mod_shoup(
+        diff, level.inv_q_last_mod_q, level.inv_q_last_mod_q_shoup, rest_mod.q
+    )
+    q_last_val = ctx.q_values[size_Ql - 1]
+    return replace(
+        a,
+        data=out,
+        chain_index=a.chain_index + 1,
+        scale=a.scale / q_last_val,
+        noise_scale_deg=max(1, a.noise_scale_deg - 1),
+    )
+
+
+def mod_drop_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
+    """Drop the last limb without scaling (mod switch)."""
+    if a.chain_index + 1 >= len(ctx.chain):
+        raise ValueError("already at the last level; cannot drop further")
+    return replace(a, data=a.data[:, :-1, :], chain_index=a.chain_index + 1)
+
+
+# --------------------------------------------------------------------------
+# rotations
+# --------------------------------------------------------------------------
+
+def rotate(ctx: FheContext, a: Ciphertext, step: int, gk: GaloisKey) -> Ciphertext:
+    elt = galois_elt_from_step(step, ctx.n)
+    return apply_galois(ctx, a, elt, gk)
+
+
+def conjugate(ctx: FheContext, a: Ciphertext, gk: GaloisKey) -> Ciphertext:
+    return apply_galois(ctx, a, conj_elt(ctx.n), gk)
+
+
+def apply_galois(ctx: FheContext, a: Ciphertext, elt: int, gk: GaloisKey) -> Ciphertext:
+    """Fused-form rotation (reference EvalRotateFused, src/evaluate.cu:2154):
+    keyswitch the UNROTATED c1 with the fused key Enc_{sigma^{-1}(s)}(P*s),
+    then apply sigma to both output components and c0."""
+    if a.size != 2:
+        raise ValueError("rotate expects size-2 ciphertext")
+    if elt == 1:
+        return a
+    level = ctx.level(a.chain_index)
+    key = gk.key_for_elt(elt)
+    d = keyswitch_core(ctx, level, a.data[1], key)
+    c0 = mm.add_mod(a.data[0], d[0], level.mod.q)
+    new0 = apply_galois_ntt(c0, elt, ctx.n)
+    new1 = apply_galois_ntt(d[1], elt, ctx.n)
+    return a.with_data(jnp.stack([new0, new1]))

@@ -1,0 +1,75 @@
+"""Ciphertext / plaintext containers (functional pytrees).
+
+Mirrors the metadata contract of the reference's PhantomCiphertext /
+PhantomPlaintext (include/ciphertext.h:7-407, include/plaintext.h) —
+chain_index, scale, correction factor (BGV), FLEXIBLEAUTO noise-scale degree
+— but as immutable pytrees: data is a (size, L, N) uint64 array, ops return
+new objects, and metadata rides in the aux treedef so jit sees it as static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Ciphertext:
+    data: jnp.ndarray           # (size, L, N) uint64
+    chain_index: int            # index into the context chain (1 = fresh)
+    scale: float = 1.0          # CKKS scaling factor
+    correction_factor: int = 1  # BGV multiplicative correction
+    noise_scale_deg: int = 1    # FLEXIBLEAUTO degree of the scaling factor
+    is_ntt_form: bool = True
+    is_asymmetric: bool = False
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def num_limbs(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[2]
+
+    def with_data(self, data) -> "Ciphertext":
+        return replace(self, data=data)
+
+    def tree_flatten(self):
+        aux = (
+            self.chain_index, self.scale, self.correction_factor,
+            self.noise_scale_deg, self.is_ntt_form, self.is_asymmetric,
+        )
+        return (self.data,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Plaintext:
+    data: jnp.ndarray           # (L, N) uint64 (RNS form) or (1, N) mod t (BFV)
+    chain_index: int
+    scale: float = 1.0
+    noise_scale_deg: int = 1
+    is_ntt_form: bool = True
+
+    @property
+    def num_limbs(self) -> int:
+        return self.data.shape[0]
+
+    def tree_flatten(self):
+        aux = (self.chain_index, self.scale, self.noise_scale_deg, self.is_ntt_form)
+        return (self.data,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)

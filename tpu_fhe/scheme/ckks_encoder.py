@@ -1,0 +1,138 @@
+"""CKKS encoder: canonical embedding over the 5^j rotation group.
+
+Functional mirror of the reference's PhantomCKKSEncoder (src/ckks.cu,
+src/fft.cu "special FFT"): slots live at the primitive 2N-th roots
+zeta^{5^j}; encode = inverse embedding -> scaled real coefficients ->
+RNS decompose -> forward NTT; decode is the inverse chain.
+
+TPU-first deviation (SURVEY.md section 7): the complex transform runs on the
+host in float64 via an FFT of size 2N (f64 is emulated/slow on TPU and
+encode/decode are not hot: bootstrap plaintexts are precomputed).  The FFT
+evaluates m(zeta^k) for all k at once; the 5^j orbit is a host-side gather.
+Sparse packing (slots < N/2) replicates the slot vector across the full
+slot set, which yields exactly the stride-replicated coefficient layout of
+the reference's encode_sparse (src/ckks.cu:19-43).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.rns import RNSBase
+from ..ops.ntt import forward_ntt, inverse_ntt
+from .ciphertext import Plaintext
+from .context import FheContext
+
+
+class CkksEncoder:
+    def __init__(self, context: FheContext):
+        self.context = context
+        self.n = context.n
+        self.slots = self.n // 2
+        two_n = 2 * self.n
+        # rotation-group exponents: e_j = 5^j mod 2N for j in [0, N/2)
+        e = np.empty(self.slots, dtype=np.int64)
+        cur = 1
+        for j in range(self.slots):
+            e[j] = cur
+            cur = (cur * 5) % two_n
+        self.rot_group = e
+
+    # -- embedding ------------------------------------------------------
+    def _embed_inverse(self, values: np.ndarray) -> np.ndarray:
+        """slots (complex, len N/2) -> real coefficient vector (len N)."""
+        n, two_n = self.n, 2 * self.n
+        # m_t = (1/N) * sum_j [ z_j * zeta^{-e_j t} + conj(z_j) zeta^{e_j t} ]
+        #     = (2/N) * Re( sum_j z_j * zeta^{-e_j t} )
+        # Evaluate S(t) = sum_j z_j w^{e_j t} with w = zeta^{-1} = exp(-i pi/N)
+        # via a size-2N inverse-FFT-style matrix: scatter z_j at frequency
+        # e_j then one FFT.
+        spec = np.zeros(two_n, dtype=np.complex128)
+        np.add.at(spec, self.rot_group % two_n, values)
+        # sum_k spec[k] * exp(-2pi i k t / 2N) = np.fft.fft(spec)[t]
+        s = np.fft.fft(spec)[:n]
+        return (2.0 / n) * s.real
+
+    def _embed_forward(self, coeffs: np.ndarray) -> np.ndarray:
+        """real coefficients (len N) -> slot values (complex, len N/2)."""
+        two_n = 2 * self.n
+        padded = np.zeros(two_n, dtype=np.complex128)
+        padded[: self.n] = coeffs
+        # m(zeta^k) for all k: zeta = exp(i pi / N) = exp(2 pi i / 2N)
+        evals = np.fft.ifft(padded) * two_n  # sum_t m_t exp(+2pi i k t/2N)
+        return evals[self.rot_group % two_n]
+
+    # -- public API -------------------------------------------------------
+    def encode(
+        self,
+        values,
+        scale: float,
+        chain_index: int | None = None,
+        slots: int | None = None,
+    ) -> Plaintext:
+        """Encode complex/real values (len <= N/2) at the given scale/level."""
+        ctx = self.context
+        if chain_index is None:
+            chain_index = 1
+        level = ctx.level(chain_index)
+        values = np.asarray(values, dtype=np.complex128).ravel()
+        slots = slots if slots is not None else len(values)
+        if len(values) < slots:
+            values = np.pad(values, (0, slots - len(values)))
+        if slots & (slots - 1):
+            raise ValueError("slot count must be a power of two")
+        if slots > self.slots:
+            raise ValueError("too many values for ring degree")
+        reps = self.slots // slots
+        full = np.tile(values, reps)
+
+        coeffs = self._embed_inverse(full) * scale
+        # exact big-int rounding: float -> int is exact at any magnitude,
+        # while object arrays of rounded *floats* would go through float
+        # modulo in the RNS decompose and corrupt residues for q > 2^52.
+        rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
+        max_coeff = max((abs(int(c)) for c in rounded), default=0)
+        if max_coeff.bit_length() + 2 >= level.base.big_modulus.bit_length():
+            raise ValueError("encoded values are too large for the modulus")
+
+        data = _decompose_signed(rounded, level.base)
+        poly = forward_ntt(jnp.asarray(data), level.ntt)
+        return Plaintext(
+            data=poly, chain_index=chain_index, scale=scale, is_ntt_form=True
+        )
+
+    def decode(self, pt: Plaintext, slots: int | None = None) -> np.ndarray:
+        ctx = self.context
+        level = ctx.level(pt.chain_index)
+        data = pt.data
+        if pt.is_ntt_form:
+            data = inverse_ntt(data, level.ntt)
+        residues = np.asarray(data, dtype=np.uint64)
+        coeffs = _compose_signed(residues, level.base)
+        vals = self._embed_forward(np.asarray(coeffs, dtype=np.float64) / pt.scale)
+        if slots is not None:
+            vals = vals[:slots]
+        return vals
+
+
+def _decompose_signed(coeffs, base: RNSBase) -> np.ndarray:
+    """Signed big ints -> (L, N) uint64 residue planes."""
+    n = len(coeffs)
+    arr = np.asarray(coeffs, dtype=object)
+    out = np.empty((len(base), n), dtype=np.uint64)
+    for i, q in enumerate(base.values):
+        out[i] = (arr % q).astype(np.uint64)
+    return out
+
+
+def _compose_signed(residues: np.ndarray, base: RNSBase):
+    """(L, N) residues -> centered big ints (python objects)."""
+    big_q = base.big_modulus
+    half = big_q // 2
+    n = residues.shape[1]
+    acc = np.zeros(n, dtype=object)
+    for i in range(len(base)):
+        mult = (base.q_hat_inv_mod_q[i] * base.punctured_products[i]) % big_q
+        acc = (acc + residues[i].astype(object) * mult) % big_q
+    return [int(v) - big_q if v > half else int(v) for v in acc]

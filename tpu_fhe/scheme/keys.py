@@ -1,0 +1,231 @@
+"""Key generation, encryption, decryption (CKKS/BGV/BFV common RLWE core).
+
+Behavioural mirror of the reference's PhantomSecretKey machinery
+(src/secretkey.cu): ternary secret in NTT form at the key level; public key
+pk = (-(a s + e), a); hybrid key-switching keys with dnum digits where digit
+d's first component carries + P * s_new * 1_{digit d limbs}
+(src/secretkey.cu:362-406 generate_one_kswitch_key); Galois keys map
+automorphism elements to switching keys for the rotated secret
+(src/secretkey.cu:956-1024 EvalAtIndexKeyGen, fused form).
+
+Everything is functional: keys are frozen pytrees of device arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.params import SchemeType
+from ..ops import modmath as mm
+from ..ops.galois import apply_galois_ntt, galois_elt_from_step
+from ..ops.ntt import forward_ntt, inverse_ntt
+from . import prng
+from .ciphertext import Ciphertext, Plaintext
+from .context import FheContext
+
+
+@dataclass(frozen=True)
+class PublicKey:
+    data: jnp.ndarray  # (2, size_QP, N): [b, a]
+
+
+@dataclass(frozen=True)
+class RelinKey:
+    """Hybrid KS key: data[d] = (b_d, a_d) at key level, d < dnum."""
+
+    data: jnp.ndarray  # (dnum, 2, size_QP, N)
+
+
+@dataclass(frozen=True)
+class GaloisKey:
+    """Map from automorphism element -> switching key (fused form)."""
+
+    keys: dict[int, RelinKey]
+
+    def key_for_elt(self, elt: int) -> RelinKey:
+        try:
+            return self.keys[elt]
+        except KeyError:
+            raise ValueError(
+                f"no Galois key for automorphism element {elt}; generate it "
+                f"with SecretKey.galois_key([...]) for the required steps"
+            ) from None
+
+
+class SecretKey:
+    """Holds the ternary secret (NTT form, key level) and key factories."""
+
+    def __init__(self, context: FheContext, key: jax.Array | int = 0):
+        self.context = context
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        self._key = key
+        kl = context.key_level
+        k_sk, self._next = jax.random.split(key)
+        s_coeff = prng.sample_ternary(k_sk, context.n, kl.mod.q)
+        self.s_ntt = forward_ntt(s_coeff, kl.ntt)  # (size_QP, N)
+
+    def _fresh_key(self):
+        k, self._next = jax.random.split(self._next)
+        return k
+
+    def public_key(self) -> PublicKey:
+        return PublicKey(self._enc_zero_under(self._fresh_key(), self.s_ntt))
+
+    # -- switching keys ---------------------------------------------------
+    def _enc_zero_under(self, rng_key, secret_ntt: jnp.ndarray) -> jnp.ndarray:
+        """(b, a) with b = -(a * secret + e) at key level (NTT form)."""
+        ctx = self.context
+        kl = ctx.key_level
+        k_a, k_e = jax.random.split(rng_key)
+        a = prng.sample_uniform(
+            k_a, kl.size, ctx.n, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi
+        )
+        e = forward_ntt(prng.sample_cbd_error(k_e, ctx.n, kl.mod.q), kl.ntt)
+        a_s = mm.mul_mod(a, secret_ntt, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi)
+        b = mm.neg_mod(mm.add_mod(a_s, e, kl.mod.q), kl.mod.q)
+        return jnp.stack([b, a])
+
+    def _kswitch_key(
+        self, target_ntt: jnp.ndarray, under_ntt: jnp.ndarray | None = None
+    ) -> RelinKey:
+        """Key-switching key: digit d = Enc_{under}(P * target * 1_{digit d}).
+
+        `under` defaults to s.  Galois keys use the reference's fused form
+        (src/secretkey.cu:408-452 generate_one_kswitch_key_fused): encrypt
+        P*s under the inverse-rotated secret, so one modup of an UNROTATED
+        c1 can be shared across many rotations (hoisting) and the
+        automorphism is applied to the keyswitch output."""
+        ctx = self.context
+        kl = ctx.key_level
+        if under_ntt is None:
+            under_ntt = self.s_ntt
+        size_P = ctx.params.size_P
+        size_Q = ctx.params.size_Q
+        dnum = (size_Q + size_P - 1) // size_P
+        # P mod q_i at the key level, shaped (size_QP, 1)
+        big_p = ctx.base_P.big_modulus
+        p_mod_q = np.array(
+            [[big_p % m.value] for m in ctx.key_modulus], dtype=np.uint64
+        )
+        p_mod_q = jnp.asarray(p_mod_q)
+
+        keys = []
+        for d in range(dnum):
+            pk = self._enc_zero_under(self._fresh_key(), under_ntt)
+            start = d * size_P
+            end = min(start + size_P, size_Q)
+            sl = slice(start, end)
+            chunk = mm.mul_mod(
+                target_ntt[sl],
+                p_mod_q[sl],
+                kl.mod.q[sl],
+                kl.mod.ratio_lo[sl],
+                kl.mod.ratio_hi[sl],
+            )
+            b_piece = mm.add_mod(pk[0, sl], chunk, kl.mod.q[sl])
+            pk = pk.at[0, sl].set(b_piece)
+            keys.append(pk)
+        return RelinKey(jnp.stack(keys))
+
+    def relin_key(self) -> RelinKey:
+        kl = self.context.key_level
+        s2 = mm.mul_mod(
+            self.s_ntt, self.s_ntt, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi
+        )
+        return self._kswitch_key(s2)
+
+    def galois_key(self, steps: list[int], include_conj: bool = False) -> GaloisKey:
+        """Switching keys for rotations by the given slot steps (fused:
+        one key per automorphism element, as EvalAtIndexKeyGen)."""
+        ctx = self.context
+        n = ctx.n
+        elts = [galois_elt_from_step(s, n) for s in steps]
+        if include_conj:
+            elts.append(2 * n - 1)
+        keys = {}
+        for elt in set(elts):
+            keys[elt] = self._galois_key_for_elt(elt)
+        return GaloisKey(keys)
+
+    def _galois_key_for_elt(self, elt: int) -> RelinKey:
+        """Fused-form key: Enc_{sigma_elt^{-1}(s)}(P*s); rotation then
+        key-switches the unrotated c1 and applies sigma_elt to the output."""
+        n = self.context.n
+        inv_elt = pow(elt, -1, 2 * n)
+        s_inv_rot = apply_galois_ntt(self.s_ntt, inv_elt, n)
+        return self._kswitch_key(self.s_ntt, under_ntt=s_inv_rot)
+
+    # -- encryption -------------------------------------------------------
+    def encrypt_symmetric(self, pt: Plaintext) -> Ciphertext:
+        """c = (b + m, a) with fresh (b, a) at the plaintext's level."""
+        ctx = self.context
+        level = ctx.level(pt.chain_index)
+        idx = list(level.limb_indices)
+        k_a, k_e = jax.random.split(self._fresh_key())
+        a = prng.sample_uniform(
+            k_a, level.size, ctx.n, level.mod.q, level.mod.ratio_lo,
+            level.mod.ratio_hi,
+        )
+        e = forward_ntt(prng.sample_cbd_error(k_e, ctx.n, level.mod.q), level.ntt)
+        s = self.s_ntt[jnp.asarray(idx)]
+        a_s = mm.mul_mod(a, s, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi)
+        b = mm.neg_mod(mm.add_mod(a_s, e, level.mod.q), level.mod.q)
+        c0 = mm.add_mod(b, pt.data, level.mod.q)
+        return Ciphertext(
+            data=jnp.stack([c0, a]),
+            chain_index=pt.chain_index,
+            scale=pt.scale,
+            noise_scale_deg=pt.noise_scale_deg,
+            is_ntt_form=True,
+        )
+
+    # -- decryption -------------------------------------------------------
+    def decrypt(self, ct: Ciphertext) -> Plaintext:
+        """CKKS/BGV NTT-form decrypt: m = sum_i c_i s^i (NTT domain)."""
+        ctx = self.context
+        level = ctx.level(ct.chain_index)
+        idx = jnp.asarray(list(level.limb_indices))
+        s = self.s_ntt[idx]
+        q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+        acc = ct.data[ct.size - 1]
+        for i in range(ct.size - 2, -1, -1):
+            acc = mm.mul_mod(acc, s, q, rlo, rhi)
+            acc = mm.add_mod(acc, ct.data[i], q)
+        return Plaintext(
+            data=acc,
+            chain_index=ct.chain_index,
+            scale=ct.scale,
+            noise_scale_deg=ct.noise_scale_deg,
+            is_ntt_form=True,
+        )
+
+
+def encrypt_asymmetric(
+    context: FheContext, pk: PublicKey, pt: Plaintext, rng_key
+) -> Ciphertext:
+    """c = (u*pk0 + e0 + m, u*pk1 + e1) at the plaintext's level."""
+    level = context.level(pt.chain_index)
+    idx = jnp.asarray(list(level.limb_indices))
+    q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    k_u, k_e0, k_e1 = jax.random.split(rng_key, 3)
+    u = forward_ntt(prng.sample_ternary(k_u, context.n, q), level.ntt)
+    e0 = forward_ntt(prng.sample_cbd_error(k_e0, context.n, q), level.ntt)
+    e1 = forward_ntt(prng.sample_cbd_error(k_e1, context.n, q), level.ntt)
+    pk0 = pk.data[0, idx]
+    pk1 = pk.data[1, idx]
+    c0 = mm.add_mod(mm.mul_mod(u, pk0, q, rlo, rhi), e0, q)
+    c0 = mm.add_mod(c0, pt.data, q)
+    c1 = mm.add_mod(mm.mul_mod(u, pk1, q, rlo, rhi), e1, q)
+    return Ciphertext(
+        data=jnp.stack([c0, c1]),
+        chain_index=pt.chain_index,
+        scale=pt.scale,
+        noise_scale_deg=pt.noise_scale_deg,
+        is_ntt_form=True,
+        is_asymmetric=True,
+    )
