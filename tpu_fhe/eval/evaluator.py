@@ -315,15 +315,20 @@ def conjugate(ctx: FheContext, a: Ciphertext, gk: GaloisKey) -> Ciphertext:
 
 
 def apply_galois(ctx: FheContext, a: Ciphertext, elt: int, gk: GaloisKey) -> Ciphertext:
+    if elt == 1:
+        return a
+    return apply_galois_with_key(ctx, a, elt, gk.key_for_elt(elt))
+
+
+def apply_galois_with_key(
+    ctx: FheContext, a: Ciphertext, elt: int, key: RelinKey
+) -> Ciphertext:
     """Fused-form rotation (reference EvalRotateFused, src/evaluate.cu:2154):
     keyswitch the UNROTATED c1 with the fused key Enc_{sigma^{-1}(s)}(P*s),
     then apply sigma to both output components and c0."""
     if a.size != 2:
         raise ValueError("rotate expects size-2 ciphertext")
-    if elt == 1:
-        return a
     level = ctx.level(a.chain_index)
-    key = gk.key_for_elt(elt)
     d = keyswitch_core(ctx, level, a.data[1], key)
     c0 = mm.add_mod(a.data[0], d[0], level.mod.q)
     new0 = apply_galois_ntt(c0, elt, ctx.n)

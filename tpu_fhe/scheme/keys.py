@@ -28,16 +28,32 @@ from .ciphertext import Ciphertext, Plaintext
 from .context import FheContext
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class PublicKey:
     data: jnp.ndarray  # (2, size_QP, N): [b, a]
 
+    def tree_flatten(self):
+        return (self.data,), None
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class RelinKey:
     """Hybrid KS key: data[d] = (b_d, a_d) at key level, d < dnum."""
 
     data: jnp.ndarray  # (dnum, 2, size_QP, N)
+
+    def tree_flatten(self):
+        return (self.data,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
 
 @dataclass(frozen=True)
