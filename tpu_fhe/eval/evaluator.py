@@ -285,12 +285,13 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
         diff, level.inv_q_last_mod_q, level.inv_q_last_mod_q_shoup, rest_mod.q
     )
     q_last_val = ctx.q_values[size_Ql - 1]
+    # noise_scale_deg is managed by the FLEXIBLEAUTO layer (ModReduce);
+    # plain rescale only adjusts the scale (reference rescale_to_next).
     return replace(
         a,
         data=out,
         chain_index=a.chain_index + 1,
         scale=a.scale / q_last_val,
-        noise_scale_deg=max(1, a.noise_scale_deg - 1),
     )
 
 
