@@ -20,8 +20,9 @@ import time
 
 import numpy as np
 
-# Round-1 recorded TPU v5e result; update when re-pinning the baseline.
-PINNED_BASELINE_KEYSWITCH_PER_S = None  # set after first TPU run
+# Round-1 recorded TPU v5e result (2026-08-17, jnp path, no Pallas NTT):
+# keyswitch 53.89 ms/op at N=2^15, 30 data + 15 special limbs.
+PINNED_BASELINE_KEYSWITCH_PER_S = 18.556
 
 
 def log(*a):

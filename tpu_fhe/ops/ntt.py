@@ -69,6 +69,15 @@ class DeviceNTTTables:
     def num_limbs(self) -> int:
         return self.roots.shape[0]
 
+    @staticmethod
+    def concat(a: "DeviceNTTTables", b: "DeviceNTTTables") -> "DeviceNTTTables":
+        import jax.numpy as _jnp
+
+        return DeviceNTTTables(*[
+            _jnp.concatenate([x, y], axis=0)
+            for x, y in zip(a.tree_flatten()[0], b.tree_flatten()[0])
+        ])
+
     def slice_limbs(self, indices: list[int]) -> "DeviceNTTTables":
         idx = np.asarray(indices)
         return DeviceNTTTables(

@@ -102,6 +102,39 @@ class CkksEncoder:
             data=poly, chain_index=chain_index, scale=scale, is_ntt_form=True
         )
 
+    def encode_ext(
+        self,
+        values,
+        scale: float,
+        chain_index: int = 1,
+        slots: int | None = None,
+        noise_scale_deg: int = 1,
+    ) -> Plaintext:
+        """Encode at the extended basis QlP (reference encode_ext,
+        include/ckks.h:190-224) — plaintexts that multiply hoisted
+        ciphertexts living at QlP."""
+        from ..ops.ntt import DeviceNTTTables
+
+        ctx = self.context
+        level = ctx.level(chain_index)
+        ks = level.ks
+        ext_base = level.base.extend(ctx.base_P)
+        values = np.asarray(values, dtype=np.complex128).ravel()
+        slots = slots if slots is not None else len(values)
+        if slots & (slots - 1):
+            raise ValueError("slot count must be a power of two")
+        reps = self.slots // slots
+        full = np.tile(values, reps)
+        coeffs = self._embed_inverse(full) * scale
+        rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
+        data = _decompose_signed(rounded, ext_base)
+        ext_ntt = DeviceNTTTables.concat(level.ntt, ks.p_ntt)
+        poly = forward_ntt(jnp.asarray(data), ext_ntt)
+        return Plaintext(
+            data=poly, chain_index=chain_index, scale=scale,
+            noise_scale_deg=noise_scale_deg, is_ntt_form=True,
+        )
+
     def decode(self, pt: Plaintext, slots: int | None = None) -> np.ndarray:
         ctx = self.context
         level = ctx.level(pt.chain_index)
