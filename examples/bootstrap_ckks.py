@@ -1,0 +1,110 @@
+"""CKKS bootstrapping end-to-end (dense packing).
+
+TPU-native analog of the reference's bootstrapping_example.cu
+(SimpleBootstrapExample): encrypt, exhaust levels, bootstrap, measure
+average bit precision and levels recovered.
+
+Run:  python examples/bootstrap_ckks.py --cpu --logn 6        # quick
+      python examples/bootstrap_ckks.py --logn 16             # full (TPU)
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def compute_bit_precision(result, expected) -> float:
+    err = np.abs(np.asarray(result) - np.asarray(expected))
+    err = np.where(err == 0, 1e-30, err)
+    return float(np.mean(-np.log2(err)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--logn", type=int, default=6)
+    ap.add_argument("--levels-after", type=int, default=1)
+    ap.add_argument("--sparse-sine", action="store_true", default=None,
+                    help="use the K=28/r=3 sine bound (small rings)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu_fhe.boot.bootstrap import CkksBootstrapper
+    from tpu_fhe.core.modulus import CoeffModulus
+    from tpu_fhe.core.params import EncryptionParameters, SchemeType
+    from tpu_fhe.eval import auto, evaluator as ev
+    from tpu_fhe.scheme.ckks_encoder import CkksEncoder
+    from tpu_fhe.scheme.context import FheContext
+    from tpu_fhe.scheme.keys import SecretKey
+
+    n = 1 << args.logn
+    # small rings have few q0-overflows; the sparse sine bound suffices and
+    # costs 4 fewer levels
+    use_sparse_sine = (
+        args.sparse_sine if args.sparse_sine is not None else args.logn <= 13
+    )
+
+    t0 = time.time()
+    boot_probe = CkksBootstrapper.__new__(CkksBootstrapper)
+    # sine params must be set before computing depth
+    level_budget = (2, 2)
+    if use_sparse_sine:
+        k, r, deg = 28, 3, 44
+    else:
+        k, r, deg = 512, 6, 88
+
+    from tpu_fhe.eval import chebyshev as cheb
+    from tpu_fhe.boot.bootstrap import gen_sine_coefficients
+
+    approx_depth = cheb.get_mult_depth_by_coeff_vector(
+        gen_sine_coefficients(k, r, deg), normalized=False
+    ) + r
+    depth = args.levels_after + approx_depth + sum(level_budget) + 2
+    size_p = max(2, (depth + 60 // 59) // 5)
+    bits = [60] + [59] * depth + [60] * size_p
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+        special_modulus_size=size_p,
+    )
+    ctx = FheContext(params)
+    enc = CkksEncoder(ctx)
+    print(f"[context] N={n}, {len(bits)} limbs "
+          f"(Q={depth+1}, P={size_p}) ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    sk = SecretKey(ctx, key=2024)
+    boot = CkksBootstrapper(ctx, enc)
+    boot.set_sine_params(k, r, deg)
+    boot.setup(level_budget=level_budget)
+    boot.keygen(sk)
+    print(f"[setup+keygen] ({time.time()-t0:.1f}s)")
+
+    sf, _ = auto.scaling_factors(ctx)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.8, 0.8, n // 2)
+    ct = sk.encrypt_symmetric(enc.encode(x, sf[0]))
+    while ctx.level(ct.chain_index).size > 2:
+        ct = ev.mod_drop_to_next(ctx, ct)
+    print(f"[input] levels before bootstrap: "
+          f"{len(ctx.chain) - 1 - ct.chain_index}")
+
+    t0 = time.time()
+    out = boot.eval_bootstrap(ct)
+    dt = time.time() - t0
+    got = enc.decode(sk.decrypt(out)).real
+    prec = compute_bit_precision(got, x)
+    levels_after = len(ctx.chain) - 1 - out.chain_index
+    print(f"[bootstrap] {dt:.1f}s, precision={prec:.1f} bits, "
+          f"levels after={levels_after}")
+    assert prec > 10, "bootstrap precision too low"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,689 @@
+"""CKKS bootstrapping (OpenFHE FLEXIBLEAUTO semantics, TPU-native).
+
+Behavioural mirror of the reference's FHECKKSRNS (src/bootstrap.cu):
+  setup      — correction factor, collapsed-FFT parameters, C2S/S2C
+               plaintext precompute at the extended basis QlP;
+  keygen     — fused Galois keys for every BSGS rotation index + conjugation;
+  bootstrap  — ModReduce -> AdjustCiphertext -> RaiseMod -> CoeffsToSlots
+               (hoisted BSGS) -> conj split re/im -> Chebyshev sine approx
+               -> double-angle iterations -> recombine -> SlotsToCoeffs.
+
+The sine-approximation Chebyshev tables are NOT hard-coded: the reference's
+g_coefficientsUniform / g_coefficientsSparse are exactly the Chebyshev
+interpolation of (2pi)^(-1/2^r) * cos(2pi/2^r * (K x - 0.25)) on [-1, 1]
+(verified to 1e-15), so we generate them parametrically at setup.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..eval import auto, chebyshev as cheb, evaluator as ev, hoisting as hst
+from ..ops.galois import apply_galois_ntt, conj_elt, galois_elt_from_step
+from ..scheme.ciphertext import Ciphertext, Plaintext
+from ..scheme.context import FheContext
+from ..scheme.keys import GaloisKey, RelinKey, SecretKey
+from . import boot_math as bm
+
+K_SPARSE = 28
+K_UNIFORM = 512
+R_SPARSE = 3
+R_UNIFORM = 6
+
+
+def gen_sine_coefficients(k: float, r: int, degree: int) -> list[float]:
+    """Chebyshev coefficients of (2pi)^(-1/2^r) cos(2pi/2^r (k x - 1/4))."""
+    scale = (2 * math.pi) ** (-1.0 / (1 << r))
+
+    def f(x):
+        return scale * math.cos(2 * math.pi / (1 << r) * (k * x - 0.25))
+
+    return cheb.eval_chebyshev_coefficients(f, -1.0, 1.0, degree)
+
+
+@dataclass
+class BootPrecom:
+    slots: int
+    params_enc: list[int]
+    params_dec: list[int]
+    a_c2s: list[list[Plaintext | None]] | None = None
+    a_s2c: list[list[Plaintext | None]] | None = None
+    # raw (rotated+scaled) complex vectors, kept for cleartext shadowing
+    raw_c2s: list[list[np.ndarray | None]] | None = None
+    raw_s2c: list[list[np.ndarray | None]] | None = None
+
+
+class CkksBootstrapper:
+    def __init__(self, ctx: FheContext, encoder):
+        self.ctx = ctx
+        self.encoder = encoder
+        self.precom: dict[int, BootPrecom] = {}
+        self.galois_keys: GaloisKey | None = None
+        self.mul_key: RelinKey | None = None
+        self.correction_factor = 0
+        # dense ternary secret default (reference hardcodes the uniform case)
+        self.k_bound = K_UNIFORM
+        self.r_iters = R_UNIFORM
+        self.poly_degree_sine = 88
+
+    # ------------------------------------------------------------------
+    def get_bootstrap_depth(self, level_budget: tuple[int, int]) -> int:
+        coeffs = gen_sine_coefficients(
+            self.k_bound, self.r_iters, self.poly_degree_sine
+        )
+        approx = cheb.get_mult_depth_by_coeff_vector(coeffs, normalized=False)
+        return approx + self.r_iters + level_budget[0] + level_budget[1]
+
+    def set_sine_params(self, k: float, r: int, degree: int):
+        """Override the sine approximation (e.g. sparse-secret K=28, r=3,
+        deg 44 — the reference's g_coefficientsSparse)."""
+        self.k_bound = k
+        self.r_iters = r
+        self.poly_degree_sine = degree
+
+    # ------------------------------------------------------------------
+    def setup(
+        self,
+        level_budget: tuple[int, int] = (2, 2),
+        dim1: tuple[int, int] = (0, 0),
+        slots: int = 0,
+        correction_factor: int = 0,
+        precompute: bool = True,
+    ):
+        ctx = self.ctx
+        n = ctx.n
+        M = 2 * n
+        slots = slots or n // 2
+        if correction_factor == 0:
+            tmp = round(-0.265 * (2 * math.log2(M / 2) + math.log2(slots)) + 19.1)
+            self.correction_factor = min(13, max(7, int(tmp)))
+        else:
+            self.correction_factor = correction_factor
+
+        log_slots = max(1, int(math.log2(slots)))
+        budget = [
+            min(max(level_budget[0], 1), log_slots),
+            min(max(level_budget[1], 1), log_slots),
+        ]
+        pre = BootPrecom(
+            slots=slots,
+            params_enc=bm.get_collapsed_fft_params(slots, budget[0], dim1[0]),
+            params_dec=bm.get_collapsed_fft_params(slots, budget[1], dim1[1]),
+        )
+        self.precom[slots] = pre
+        if not precompute:
+            return
+
+        m = 4 * slots
+        if m != M:
+            raise NotImplementedError(
+                "sparse-packed bootstrap precompute lands with the sparse "
+                "path (the reference's sparse path is marked non-working; "
+                "dense slots = N/2 is the validated configuration)"
+            )
+        rot_group = np.empty(slots, dtype=np.int64)
+        five = 1
+        for i in range(slots):
+            rot_group[i] = five
+            five = (five * 5) % m
+        ksi = np.exp(2j * math.pi * np.arange(m + 1) / m)
+        ksi[m] = ksi[0]
+
+        q0 = float(ctx.q_values[0])
+        factor = 1 << int(round(math.log2(q0)))
+        pre_scale = q0 / factor
+        scale_enc = pre_scale / 1.0
+        scale_dec = 1.0 / pre_scale
+
+        depth_bt = self.get_bootstrap_depth((budget[0], budget[1]))
+        L0 = ctx.params.size_Q
+        l_enc = L0 - budget[0] - 1
+        l_dec = L0 - depth_bt
+
+        pre.a_c2s, pre.raw_c2s = self._coeffs_to_slots_precompute(
+            pre, ksi, rot_group, False, scale_enc, l_enc
+        )
+        pre.a_s2c, pre.raw_s2c = self._slots_to_coeffs_precompute(
+            pre, ksi, rot_group, False, scale_dec, l_dec
+        )
+
+    # ------------------------------------------------------------------
+    def _coeffs_to_slots_precompute(
+        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L
+    ):
+        """EvalCoeffsToSlotsPrecompute (src/bootstrap.cu:183-394), dense."""
+        ctx = self.ctx
+        sf, _ = auto.scaling_factors(ctx)
+        slots = pre.slots
+        p = pre.params_enc
+        level_budget = p[bm.LEVEL_BUDGET]
+        layers = p[bm.LAYERS_COLL]
+        rem = p[bm.LAYERS_REM]
+        num_rot = p[bm.NUM_ROTATIONS]
+        b, g = p[bm.BABY_STEP], p[bm.GIANT_STEP]
+        num_rot_rem = p[bm.NUM_ROTATIONS_REM]
+        b_rem, g_rem = p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
+        stop = 0 if rem else -1
+        flag_rem = 1 if rem else 0
+
+        towers_to_drop = 0
+        chain_idx = 1
+        if L != 0:
+            towers_to_drop = ctx.params.size_Q - L - level_budget
+        chain_idx += towers_to_drop
+        level0 = towers_to_drop + level_budget - 1
+
+        chain_vector = [0] * (level_budget - stop)
+        ci = chain_idx
+        for s in range(level_budget - 1, stop - 1, -1):
+            chain_vector[s - stop] = ci
+            ci += 1
+
+        coeff = bm.coeff_encoding_collapse(ksi, rot_group, level_budget, flag_i)
+
+        result: list[list[Plaintext | None]] = []
+        raw: list[list[np.ndarray | None]] = []
+        for i in range(level_budget):
+            size = num_rot_rem if (flag_rem and i == 0) else num_rot
+            result.append([None] * size)
+            raw.append([None] * size)
+
+        for s in range(level_budget - 1, stop, -1):
+            for i in range(b):
+                for j in range(g):
+                    if g * i + j != num_rot:
+                        rot = bm.reduce_rotation(
+                            -g * i * (1 << ((s - flag_rem) * layers + rem)), slots
+                        )
+                        vec = coeff[s][g * i + j]
+                        if flag_rem == 0 and s == stop + 1:
+                            vec = vec * scale
+                        rotated = bm.rotate_vec(vec, rot)
+                        raw[s][g * i + j] = rotated
+                        result[s][g * i + j] = self.encoder.encode_ext(
+                            rotated,
+                            sf[level0 - s],
+                            chain_index=chain_vector[s - stop],
+                        )
+        if flag_rem:
+            for i in range(b_rem):
+                for j in range(g_rem):
+                    if g_rem * i + j != num_rot_rem:
+                        rot = bm.reduce_rotation(-g_rem * i, slots)
+                        vec = coeff[stop][g_rem * i + j] * scale
+                        rotated = bm.rotate_vec(vec, rot)
+                        raw[stop][g_rem * i + j] = rotated
+                        result[stop][g_rem * i + j] = self.encoder.encode_ext(
+                            rotated, sf[level0], chain_index=chain_vector[0]
+                        )
+        return result, raw
+
+    def _slots_to_coeffs_precompute(
+        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L
+    ):
+        """EvalSlotsToCoeffsPrecompute (src/bootstrap.cu:396-590), dense."""
+        ctx = self.ctx
+        sf, _ = auto.scaling_factors(ctx)
+        slots = pre.slots
+        p = pre.params_dec
+        level_budget = p[bm.LEVEL_BUDGET]
+        layers = p[bm.LAYERS_COLL]
+        rem = p[bm.LAYERS_REM]
+        num_rot = p[bm.NUM_ROTATIONS]
+        b, g = p[bm.BABY_STEP], p[bm.GIANT_STEP]
+        num_rot_rem = p[bm.NUM_ROTATIONS_REM]
+        b_rem, g_rem = p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
+        flag_rem = 1 if rem else 0
+
+        towers_to_drop = 0
+        chain_idx = 1
+        if L != 0:
+            towers_to_drop = ctx.params.size_Q - L - level_budget
+        chain_idx += towers_to_drop
+        level0 = towers_to_drop
+
+        chain_vector = [chain_idx + s for s in range(level_budget - flag_rem + 1)]
+
+        coeff = bm.coeff_decoding_collapse(ksi, rot_group, level_budget, flag_i)
+
+        result: list[list[Plaintext | None]] = []
+        raw: list[list[np.ndarray | None]] = []
+        for i in range(level_budget):
+            size = num_rot_rem if (flag_rem and i == level_budget - 1) else num_rot
+            result.append([None] * size)
+            raw.append([None] * size)
+
+        for s in range(level_budget - flag_rem):
+            for i in range(b):
+                for j in range(g):
+                    if g * i + j != num_rot:
+                        rot = bm.reduce_rotation(
+                            -g * i * (1 << (s * layers)), slots
+                        )
+                        vec = coeff[s][g * i + j]
+                        if flag_rem == 0 and s == level_budget - flag_rem - 1:
+                            vec = vec * scale
+                        rotated = bm.rotate_vec(vec, rot)
+                        raw[s][g * i + j] = rotated
+                        result[s][g * i + j] = self.encoder.encode_ext(
+                            rotated, sf[level0 + s], chain_index=chain_vector[s]
+                        )
+        if flag_rem:
+            s = level_budget - flag_rem
+            for i in range(b_rem):
+                for j in range(g_rem):
+                    if g_rem * i + j != num_rot_rem:
+                        rot = bm.reduce_rotation(
+                            -g_rem * i * (1 << (s * layers)), slots
+                        )
+                        vec = coeff[s][g_rem * i + j] * scale
+                        rotated = bm.rotate_vec(vec, rot)
+                        raw[s][g_rem * i + j] = rotated
+                        result[s][g_rem * i + j] = self.encoder.encode_ext(
+                            rotated, sf[level0 + s], chain_index=chain_vector[s]
+                        )
+        return result, raw
+
+    # ------------------------------------------------------------------
+    def find_rotation_indices(self, slots: int) -> list[int]:
+        """FindBootstrapRotationIndices (src/bootstrap.cu:612-648)."""
+        M = 2 * self.ctx.n
+        out = self._fft_rotation_indices(slots, encode=True)
+        out += self._fft_rotation_indices(slots, encode=False)
+        out = sorted(set(out))
+        return [v for v in out if v != 0 and v != M // 4]
+
+    def _fft_rotation_indices(self, slots: int, encode: bool) -> list[int]:
+        pre = self.precom[slots]
+        M = 2 * self.ctx.n
+        p = pre.params_enc if encode else pre.params_dec
+        level_budget = p[bm.LEVEL_BUDGET]
+        layers, rem = p[bm.LAYERS_COLL], p[bm.LAYERS_REM]
+        num_rot, b, g = p[bm.NUM_ROTATIONS], p[bm.BABY_STEP], p[bm.GIANT_STEP]
+        num_rot_rem, b_rem, g_rem = (
+            p[bm.NUM_ROTATIONS_REM], p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
+        )
+        flag_rem = 1 if rem else 0
+        stop = 0 if rem else -1
+        out = []
+        if encode:
+            for s in range(level_budget - 1, stop, -1):
+                for j in range(g):
+                    out.append(bm.reduce_rotation(
+                        (j - (num_rot + 1) // 2 + 1)
+                        * (1 << ((s - flag_rem) * layers + rem)),
+                        slots,
+                    ))
+                for i in range(b):
+                    out.append(bm.reduce_rotation(
+                        (g * i) * (1 << ((s - flag_rem) * layers + rem)), M // 4
+                    ))
+            if flag_rem:
+                for j in range(g_rem):
+                    out.append(bm.reduce_rotation(
+                        j - (num_rot_rem + 1) // 2 + 1, slots
+                    ))
+                for i in range(b_rem):
+                    out.append(bm.reduce_rotation(g_rem * i, M // 4))
+        else:
+            for s in range(level_budget - flag_rem):
+                for j in range(g):
+                    out.append(bm.reduce_rotation(
+                        (j - (num_rot + 1) // 2 + 1) * (1 << (s * layers)), M // 4
+                    ))
+                for i in range(b):
+                    out.append(bm.reduce_rotation(
+                        (g * i) * (1 << (s * layers)), M // 4
+                    ))
+            if flag_rem:
+                s = level_budget - flag_rem
+                for j in range(g_rem):
+                    out.append(bm.reduce_rotation(
+                        (j - (num_rot_rem + 1) // 2 + 1) * (1 << (s * layers)),
+                        M // 4,
+                    ))
+                for i in range(b_rem):
+                    out.append(bm.reduce_rotation(
+                        (g_rem * i) * (1 << (s * layers)), M // 4
+                    ))
+        m_small = slots * 4
+        M_full = 2 * self.ctx.n
+        if m_small != M_full:
+            j = 1
+            while j < M_full // m_small:
+                out.append(j * slots)
+                j <<= 1
+        return out
+
+    def keygen(self, sk: SecretKey, slots: int = 0):
+        """EvalBootstrapKeyGen + EvalMultKeyGen."""
+        slots = slots or self.ctx.n // 2
+        steps = self.find_rotation_indices(slots)
+        self.galois_keys = sk.galois_key(steps, include_conj=True)
+        self.mul_key = sk.relin_key()
+
+    # ------------------------------------------------------------------
+    def adjust_ciphertext(self, ct: Ciphertext, correction: float) -> Ciphertext:
+        """AdjustCiphertext (src/bootstrap.cu:1131-1155)."""
+        ctx = self.ctx
+        sf, _ = auto.scaling_factors(ctx)
+        target_sf = sf[0]
+        source_sf = ct.scale
+        level = ctx.level(ct.chain_index)
+        num_towers = level.size
+        mod_to_drop = float(ctx.q_values[num_towers - 1])
+        adjustment = (
+            (target_sf / source_sf) * (mod_to_drop / source_sf)
+            * math.pow(2.0, -correction)
+        )
+        ct = auto.mult_const(ctx, ct, adjustment)
+        ct = auto.mod_reduce(ctx, ct, 1)
+        return replace(ct, scale=target_sf)
+
+    def apply_double_angle(self, ct: Ciphertext, num_iter: int) -> Ciphertext:
+        ctx = self.ctx
+        r = num_iter
+        for j in range(1, r + 1):
+            ct = auto.eval_square_auto(ctx, ct, self.mul_key)
+            ct = auto.eval_add_auto(ctx, ct, ct)
+            scalar = -1.0 / math.pow(2.0 * math.pi, math.pow(2.0, j - r))
+            ct = auto.add_const(ctx, ct, scalar)
+        return ct
+
+    # ------------------------------------------------------------------
+    def _bsgs_level(
+        self,
+        result: Ciphertext,
+        A_level: list[Plaintext | None],
+        rot_in: list[int],
+        rot_out: list[int],
+        b: int,
+        g: int,
+        num_rot: int,
+    ) -> Ciphertext:
+        """One hoisted BSGS level (shared by C2S/S2C — the loop bodies of
+        EvalCoeffsToSlots/EvalSlotsToCoeffs are identical given the rotation
+        tables; src/bootstrap.cu:1256-1402)."""
+        ctx = self.ctx
+        n = ctx.n
+        gk = self.galois_keys
+        digits = hst.fast_rotation_precompute(ctx, result)
+        fast_rot: list[Ciphertext] = []
+        for j in range(g):
+            if rot_in[j] != 0:
+                elt = galois_elt_from_step(rot_in[j], n)
+                fast_rot.append(hst.fast_rotation_ext(
+                    ctx, result, digits, elt, gk.key_for_elt(elt), True
+                ))
+            else:
+                fast_rot.append(hst.keyswitch_ext(ctx, result))
+
+        level = ctx.level(result.chain_index)
+        first = None  # (1, size_Ql, N) raw component
+        outer = None
+        for i in range(b):
+            G = g * i
+            inner = hst.eval_mult_ext(ctx, fast_rot[0], A_level[G])
+            for j in range(1, g):
+                if (G + j) != num_rot:
+                    inner = hst.eval_add_ext(
+                        ctx, inner,
+                        hst.eval_mult_ext(ctx, fast_rot[j], A_level[G + j]),
+                    )
+            if i == 0:
+                first = hst.keyswitch_down_first(ctx, inner)
+                outer = hst.reset_poly_ext(ctx, inner, 0)
+            else:
+                if rot_out[i] != 0:
+                    elt = galois_elt_from_step(rot_out[i], n)
+                    inner_dn = hst.keyswitch_down(ctx, inner)
+                    rot_c0 = apply_galois_ntt(inner_dn.data[0], elt, n)
+                    first = first.with_data(
+                        first.data.at[0].set(
+                            jnp_add_mod(first.data[0], rot_c0, level.mod.q)
+                        )
+                    )
+                    inner_digits = hst.fast_rotation_precompute(ctx, inner_dn)
+                    outer = hst.eval_add_ext(
+                        ctx, outer,
+                        hst.fast_rotation_ext(
+                            ctx, inner_dn, inner_digits, elt,
+                            gk.key_for_elt(elt), False,
+                        ),
+                    )
+                else:
+                    down = hst.keyswitch_down_first(ctx, inner)
+                    first = first.with_data(
+                        first.data.at[0].set(
+                            jnp_add_mod(first.data[0], down.data[0], level.mod.q)
+                        )
+                    )
+                    # only add c1 at the ext basis
+                    q_ext = _ext_q(level)
+                    new_c1 = jnp_add_mod(outer.data[1], inner.data[1], q_ext)
+                    outer = outer.with_data(outer.data.at[1].set(new_c1))
+        res = hst.keyswitch_down(ctx, outer)
+        c0 = jnp_add_mod(res.data[0], first.data[0], level.mod.q)
+        return res.with_data(res.data.at[0].set(c0))
+
+    def coeffs_to_slots(self, ct: Ciphertext, slots: int) -> Ciphertext:
+        ctx = self.ctx
+        pre = self.precom[slots]
+        M = 2 * ctx.n
+        p = pre.params_enc
+        level_budget = p[bm.LEVEL_BUDGET]
+        layers, rem = p[bm.LAYERS_COLL], p[bm.LAYERS_REM]
+        num_rot, b, g = p[bm.NUM_ROTATIONS], p[bm.BABY_STEP], p[bm.GIANT_STEP]
+        num_rot_rem, b_rem, g_rem = (
+            p[bm.NUM_ROTATIONS_REM], p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
+        )
+        flag_rem = 1 if rem else 0
+        stop = 0 if rem else -1
+
+        result = ct
+        for si in range(level_budget - 1, stop, -1):
+            if si != level_budget - 1:
+                result = auto.mod_reduce(ctx, result, 1)
+            rot_in = [
+                bm.reduce_rotation(
+                    (j - (num_rot + 1) // 2 + 1)
+                    * (1 << ((si - flag_rem) * layers + rem)),
+                    slots,
+                )
+                for j in range(g)
+            ]
+            rot_out = [
+                bm.reduce_rotation(
+                    (g * i) * (1 << ((si - flag_rem) * layers + rem)), M // 4
+                )
+                for i in range(b)
+            ]
+            result = self._bsgs_level(
+                result, pre.a_c2s[si], rot_in, rot_out, b, g, num_rot
+            )
+        if flag_rem:
+            result = auto.mod_reduce(ctx, result, 1)
+            rot_in = [
+                bm.reduce_rotation(j - (num_rot_rem + 1) // 2 + 1, slots)
+                for j in range(g_rem)
+            ]
+            rot_out = [
+                bm.reduce_rotation(g_rem * i, M // 4) for i in range(b_rem)
+            ]
+            result = self._bsgs_level(
+                result, pre.a_c2s[stop], rot_in, rot_out, b_rem, g_rem,
+                num_rot_rem,
+            )
+        return result
+
+    def slots_to_coeffs(self, ct: Ciphertext, slots: int) -> Ciphertext:
+        ctx = self.ctx
+        pre = self.precom[slots]
+        M = 2 * ctx.n
+        p = pre.params_dec
+        level_budget = p[bm.LEVEL_BUDGET]
+        layers, rem = p[bm.LAYERS_COLL], p[bm.LAYERS_REM]
+        num_rot, b, g = p[bm.NUM_ROTATIONS], p[bm.BABY_STEP], p[bm.GIANT_STEP]
+        num_rot_rem, b_rem, g_rem = (
+            p[bm.NUM_ROTATIONS_REM], p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
+        )
+        flag_rem = 1 if rem else 0
+
+        result = ct
+        for si in range(level_budget - flag_rem):
+            if si != 0:
+                result = auto.mod_reduce(ctx, result, 1)
+            rot_in = [
+                bm.reduce_rotation(
+                    (j - (num_rot + 1) // 2 + 1) * (1 << (si * layers)), M // 4
+                )
+                for j in range(g)
+            ]
+            rot_out = [
+                bm.reduce_rotation((g * i) * (1 << (si * layers)), M // 4)
+                for i in range(b)
+            ]
+            result = self._bsgs_level(
+                result, pre.a_s2c[si], rot_in, rot_out, b, g, num_rot
+            )
+        if flag_rem:
+            result = auto.mod_reduce(ctx, result, 1)
+            si = level_budget - flag_rem
+            rot_in = [
+                bm.reduce_rotation(
+                    (j - (num_rot_rem + 1) // 2 + 1) * (1 << (si * layers)),
+                    M // 4,
+                )
+                for j in range(g_rem)
+            ]
+            rot_out = [
+                bm.reduce_rotation((g_rem * i) * (1 << (si * layers)), M // 4)
+                for i in range(b_rem)
+            ]
+            result = self._bsgs_level(
+                result, pre.a_s2c[si], rot_in, rot_out, b_rem, g_rem,
+                num_rot_rem,
+            )
+        return result
+
+    # ------------------------------------------------------------------
+    def eval_bootstrap(
+        self, ct: Ciphertext, slots: int = 0, num_iterations: int = 1,
+        precision: int = 0,
+    ) -> Ciphertext:
+        """EvalBootstrap (src/bootstrap.cu:843-1129), dense path + Meta-BTS."""
+        ctx = self.ctx
+        n = ctx.n
+        M = 2 * n
+        slots = slots or n // 2
+        init_size_q = ctx.level(ct.chain_index).size
+
+        if num_iterations > 1:
+            # Meta-BTS two-pass precision boost (src/bootstrap.cu:858-906)
+            power = 1 << precision
+            ct_scaled_up = auto.mult_by_integer(ctx, ct, power)
+            ct_init = self.eval_bootstrap(ct, slots, num_iterations - 1, precision)
+            ct_init = auto.mod_reduce(ctx, ct_init, 1)
+            ct_init_up = auto.mult_by_integer(ctx, ct_init, power)
+            boot_size_q = ctx.level(ct_init_up.chain_index).size
+            if boot_size_q <= init_size_q:
+                return ct
+            ct_down = auto.mod_switch_level(
+                ctx, ct_init_up, boot_size_q - init_size_q
+            )
+            ct_err = auto.eval_sub_auto(ctx, ct_down, ct_scaled_up)
+            ct_err_boot = self.eval_bootstrap(ct_err, slots, 1, 0)
+            ct_err_boot = auto.mod_reduce(ctx, ct_err_boot, 1)
+            final = auto.eval_sub_auto(ctx, ct_init_up, ct_err_boot)
+            return auto.mult_const(ctx, final, 1.0 / power)
+
+        if ctx.level(ct.chain_index).size < 2:
+            raise ValueError(
+                "bootstrap input must keep at least 2 towers: "
+                "AdjustCiphertext rescales once before RaiseMod "
+                "(reference inputs are down-leveled to >= 2 limbs)"
+            )
+        pre = self.precom[slots]
+        q0 = float(ctx.q_values[0])
+        pow_p = 2.0 ** 59
+        deg = round(math.log2(q0 / pow_p))
+        if deg > self.correction_factor:
+            raise ValueError(
+                f"log2(q0/2^59) = {deg} must be <= correction factor "
+                f"{self.correction_factor}"
+            )
+        correction = self.correction_factor - deg
+        post = 2.0 ** deg
+        pre_scale = 1.0 / post
+        scalar = int(round(post))
+
+        # raise the modulus
+        raised = auto.mod_reduce(ctx, ct, ct.noise_scale_deg - 1) \
+            if ct.noise_scale_deg > 1 else ct
+        raised = self.adjust_ciphertext(raised, correction)
+        raised = auto.raise_mod(ctx, raised)
+
+        coefficients = gen_sine_coefficients(
+            self.k_bound, self.r_iters, self.poly_degree_sine
+        )
+        const_eval_mult = pre_scale * (1.0 / (self.k_bound * n))
+        raised = auto.mult_const(ctx, raised, const_eval_mult)
+
+        if slots != M // 4:
+            raise NotImplementedError("sparse path lands in a later round")
+
+        # ---------------- CoeffsToSlots ----------------
+        raised = auto.mod_reduce(ctx, raised, 1)
+        ctxt_enc = self.coeffs_to_slots(raised, slots)
+
+        conj_key = self.galois_keys.key_for_elt(conj_elt(n))
+        conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
+        ctxt_enc_i = auto.eval_sub_auto(ctx, ctxt_enc, conj)
+        ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
+        ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, 3 * M // 4)
+
+        if ctxt_enc.noise_scale_deg == 2:
+            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
+
+        # ---------------- approximate mod reduction ----------------
+        ctxt_enc = cheb.eval_chebyshev_series(
+            ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
+        )
+        ctxt_enc_i = cheb.eval_chebyshev_series(
+            ctx, ctxt_enc_i, self.mul_key, coefficients, -1.0, 1.0
+        )
+        ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+        ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
+        ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
+        ctxt_enc_i = self.apply_double_angle(ctxt_enc_i, self.r_iters)
+
+        ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, M // 4)
+        ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, ctxt_enc_i)
+        ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
+
+        # ---------------- SlotsToCoeffs ----------------
+        ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+        ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
+
+        cor_factor = 1 << round(correction)
+        ctxt_dec = auto.mult_by_integer(ctx, ctxt_dec, cor_factor)
+
+        boot_towers = ctx.level(ctxt_dec.chain_index).size
+        if boot_towers <= init_size_q:
+            return ct
+        return ctxt_dec
+
+
+def jnp_add_mod(a, b, q):
+    from ..ops import modmath as mm
+
+    return mm.add_mod(a, b, q)
+
+
+def _ext_q(level):
+    return jnp.concatenate([level.mod.q, level.ks.p_mod.q])
