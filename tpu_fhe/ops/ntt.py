@@ -37,6 +37,11 @@ class DeviceNTTTables:
     """Per-limb twiddle tables resident on device.
 
     All arrays have leading limb axis L; data polys are (..., L, N).
+
+    `plan` is the fused Pallas kernel's twiddle plan (ops/ntt_pallas.NTTPlan)
+    built once at the KEY level and shared by every chain level; `limb_map`
+    maps this table's limb axis into the plan's key-level limb axis, so
+    slice_limbs/concat never duplicate twiddle storage.
     """
 
     q: jnp.ndarray            # (L, 1) uint64 modulus values
@@ -48,12 +53,14 @@ class DeviceNTTTables:
     inv_roots_shoup: jnp.ndarray
     inv_degree: jnp.ndarray   # (L, 1) n^{-1} mod q
     inv_degree_shoup: jnp.ndarray
+    plan: "object | None" = None        # NTTPlan pytree or None
+    limb_map: jnp.ndarray | None = None  # (L,) int32 indices into plan limbs
 
     def tree_flatten(self):
         children = (
             self.q, self.ratio_lo, self.ratio_hi, self.roots, self.roots_shoup,
             self.inv_roots, self.inv_roots_shoup, self.inv_degree,
-            self.inv_degree_shoup,
+            self.inv_degree_shoup, self.plan, self.limb_map,
         )
         return children, None
 
@@ -73,10 +80,15 @@ class DeviceNTTTables:
     def concat(a: "DeviceNTTTables", b: "DeviceNTTTables") -> "DeviceNTTTables":
         import jax.numpy as _jnp
 
-        return DeviceNTTTables(*[
-            _jnp.concatenate([x, y], axis=0)
-            for x, y in zip(a.tree_flatten()[0], b.tree_flatten()[0])
-        ])
+        flat_a = a.tree_flatten()[0][:9]
+        flat_b = b.tree_flatten()[0][:9]
+        merged = [_jnp.concatenate([x, y], axis=0) for x, y in zip(flat_a, flat_b)]
+        # both sides must be views of the same key-level plan
+        plan = a.plan if a.plan is not None else b.plan
+        lm = None
+        if a.limb_map is not None and b.limb_map is not None:
+            lm = _jnp.concatenate([a.limb_map, b.limb_map])
+        return DeviceNTTTables(*merged, plan=plan, limb_map=lm)
 
     def slice_limbs(self, indices: list[int]) -> "DeviceNTTTables":
         idx = np.asarray(indices)
@@ -86,6 +98,8 @@ class DeviceNTTTables:
             inv_roots=self.inv_roots[idx], inv_roots_shoup=self.inv_roots_shoup[idx],
             inv_degree=self.inv_degree[idx],
             inv_degree_shoup=self.inv_degree_shoup[idx],
+            plan=self.plan,
+            limb_map=None if self.limb_map is None else self.limb_map[idx],
         )
 
 
@@ -107,6 +121,9 @@ def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
         [[compute_shoup(w, t.modulus.value) for w in t.inv_root_powers] for t in tables],
         dtype=np.uint64,
     )
+    from .ntt_pallas import build_ntt_plan
+
+    plan = build_ntt_plan(tables)
     return DeviceNTTTables(
         q=arr2([[q] for q in qs]),
         ratio_lo=arr2([[t.modulus.const_ratio[0]] for t in tables]),
@@ -119,6 +136,18 @@ def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
         inv_degree_shoup=arr2(
             [[compute_shoup(t.inv_degree, t.modulus.value)] for t in tables]
         ),
+        plan=plan,
+        limb_map=None if plan is None else jnp.arange(len(tables), dtype=jnp.int32),
+    )
+
+
+def _pallas_ok(t: DeviceNTTTables) -> bool:
+    from . import ntt_pallas
+
+    return (
+        t.plan is not None
+        and t.limb_map is not None
+        and ntt_pallas.pallas_enabled()
     )
 
 
@@ -128,6 +157,10 @@ def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
     x: (..., L, N) uint64 in [0, q).  Returns same shape/order as the golden
     transform (evaluation at psi^(2*br(i)+1)).
     """
+    if _pallas_ok(t):
+        from .ntt_pallas import forward_ntt_pallas
+
+        return forward_ntt_pallas(x, t)
     n = t.n
     log_n = n.bit_length() - 1
     lead = x.shape[:-1]  # (..., L)
@@ -158,6 +191,10 @@ def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
 
 def inverse_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
     """Inverse negacyclic NTT over the last axis (includes the 1/n scale)."""
+    if _pallas_ok(t):
+        from .ntt_pallas import inverse_ntt_pallas
+
+        return inverse_ntt_pallas(x, t)
     n = t.n
     lead = x.shape[:-1]
     q = t.q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))

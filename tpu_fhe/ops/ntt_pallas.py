@@ -1,0 +1,462 @@
+"""Fused negacyclic NTT / iNTT as single Pallas TPU kernels.
+
+One kernel invocation performs the FULL log2(N)-stage transform for one RNS
+limb entirely in VMEM: one HBM read + one HBM write per limb instead of the
+log2(N) round trips of the stage-by-stage XLA path (ops/ntt.py).  This is
+the TPU-native counterpart of the reference's fused 2D NTT kernels
+(src/ntt/fntt_2d.cu, src/ntt/intt_2d.cu): their N1 x N2 phase split maps
+onto our (N/128, 128) matrix layout with a VMEM transpose between the
+row-butterfly phase and the column-butterfly phase.
+
+Key algebraic restructuring for the TPU vector unit (everything stays 2D,
+no in-kernel reshapes):
+
+  * data layout M[j1, j2], flat index i = j1*N2 + j2, N2 = 128 lanes.
+  * phase 1 (gaps >= N2) pairs rows of M; phase 2 (gaps < N2) pairs rows of
+    the VMEM-transposed T = M^T.
+  * each butterfly stage is expressed with sublane ROLLS + a lane-parallel
+    select, so the twiddle operand is a per-row column vector — never a
+    lane-indexed tensor.
+  * the phase-2 stage twiddles factor as
+        roots[m + j1*G + g] = roots[m + g] * psi^(2*rev_N1(j1)*tt)
+    and the column-dependent part accumulates LINEARLY over the stages
+    (sum of tt over set bits of j2), so it collapses into one elementwise
+    "twist" multiply by psi^(2*rev_N1(j1)*j2): applied before the phase-2
+    stages of the forward DIT transform, and after the phase-A stages of
+    the inverse GS transform (with psi^-1).  What remains per stage is a
+    row-only twiddle vector.
+  * Harvey lazy butterflies in [0, 4q) with Shoup multiplication on
+    (lo, hi) uint32 pairs (the VPU is a 32-bit machine; see ops/u32pair.py),
+    matching the reference's lazy forms (include/butterfly.cuh:10-109).
+  * twiddles are packed per stage layout on the host once per key-level
+    context (NTTPlan) and block-selected per limb through a scalar-prefetch
+    limb map, so every modulus-chain level shares one plan.
+
+Bit-exact: outputs match core/ntt_tables.golden_forward_ntt per limb.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u32pair as u32
+
+N2 = 128          # lane dimension of the in-kernel matrix layout
+LOG_N2 = 7
+MIN_N = 1024      # smallest ring the kernel layout supports (N1 >= 8)
+
+
+def _mode() -> str:
+    return os.environ.get("TPU_FHE_PALLAS", "auto")
+
+
+def pallas_enabled() -> bool:
+    mode = _mode()
+    if mode == "never":
+        return False
+    if mode == "always":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# host-side plan construction
+# ---------------------------------------------------------------------------
+
+
+def _split_u32(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a = np.asarray(a, dtype=np.uint64)
+    return (
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (a >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class NTTPlan:
+    """Per-stage twiddle layouts for the fused kernel (leading limb axis L).
+
+    s1 arrays (L, N1, S1): per row-phase stage k, column k holds the per-row
+        twiddle vector W[r] = table[2^k + r // (2*s_k)].
+    s2 arrays (L, N2, S2): per column-phase stage k', column k' holds the
+        per-row (of T) twiddle vector W[j2] = table[m_k' + j2 // (2*tt_k')].
+    twist arrays (L, N2, N1): psi^(+-2*rev_N1(j1)*j2) elementwise table.
+    Scalars (L,): modulus words and n^{-1} (value + Shoup) words.
+    Every 64-bit quantity is stored as _lo/_hi (+ _slo/_shi Shoup) uint32.
+    """
+
+    fw_s1: tuple
+    fw_s2: tuple
+    fw_tw: tuple
+    iv_s1: tuple
+    iv_s2: tuple
+    iv_tw: tuple
+    q_lo: jnp.ndarray
+    q_hi: jnp.ndarray
+    invn_lo: jnp.ndarray
+    invn_hi: jnp.ndarray
+    invn_slo: jnp.ndarray
+    invn_shi: jnp.ndarray
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self.__dataclass_fields__), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n(self) -> int:
+        return self.fw_tw[0].shape[-1] * N2
+
+    @property
+    def n1(self) -> int:
+        return self.fw_tw[0].shape[-1]
+
+
+def build_ntt_plan(tables) -> NTTPlan | None:
+    """Build the kernel twiddle plan from host NTTTables (exact integers)."""
+    n = tables[0].n
+    if n < MIN_N:
+        return None
+    n1 = n // N2
+    log_n = n.bit_length() - 1
+    log_n1 = log_n - LOG_N2
+    L = len(tables)
+
+    from ..core.ntt_tables import compute_shoup
+    from ..core.numth import reverse_bits
+
+    rev_n1 = np.array([reverse_bits(j, log_n1) for j in range(n1)])
+    j2_col = np.arange(N2)
+
+    def quad(vals: np.ndarray, q: int):
+        """(value lo/hi, shoup lo/hi) uint32 arrays from a uint64 array."""
+        s = np.empty_like(vals)
+        flat_v = vals.reshape(-1)
+        flat_s = s.reshape(-1)
+        for i in range(flat_v.size):
+            flat_s[i] = compute_shoup(int(flat_v[i]), q)
+        return (*_split_u32(vals), *_split_u32(s))
+
+    per_limb = {k: [] for k in ("fw_s1", "fw_s2", "fw_tw", "iv_s1", "iv_s2", "iv_tw")}
+    q_words = np.zeros((L,), dtype=np.uint64)
+    invn = np.zeros((L,), dtype=np.uint64)
+    invn_s = np.zeros((L,), dtype=np.uint64)
+
+    for l, t in enumerate(tables):
+        q = t.modulus.value
+        roots = np.array(t.root_powers, dtype=np.uint64)
+        iroots = np.array(t.inv_root_powers, dtype=np.uint64)
+
+        # power tables psi^e, psi^-e for e in [0, 2n) (fast exact ints)
+        psi_pow = np.zeros(2 * n, dtype=np.uint64)
+        ipsi_pow = np.zeros(2 * n, dtype=np.uint64)
+        p = pi = 1
+        for e in range(2 * n):
+            psi_pow[e] = p
+            ipsi_pow[e] = pi
+            p = (p * t.root) % q
+            pi = (pi * t.inv_root) % q
+
+        # row-phase stage vectors (natural layout, rows j1)
+        r_idx = np.arange(n1)
+        s1f = np.zeros((n1, log_n1), dtype=np.uint64)
+        s1i = np.zeros((n1, log_n1), dtype=np.uint64)
+        for k in range(log_n1):
+            m = 1 << k
+            s = n1 >> (k + 1)
+            s1f[:, k] = roots[m + r_idx // (2 * s)]
+            s1i[:, k] = iroots[m + r_idx // (2 * s)]
+
+        # column-phase stage vectors (transposed layout, rows j2)
+        s2f = np.zeros((N2, LOG_N2), dtype=np.uint64)
+        s2i = np.zeros((N2, LOG_N2), dtype=np.uint64)
+        for kp in range(LOG_N2):
+            m = n1 << kp
+            tt = N2 >> (kp + 1)
+            s2f[:, kp] = roots[m + j2_col // (2 * tt)]
+            s2i[:, kp] = iroots[m + j2_col // (2 * tt)]
+
+        # twist tables (transposed layout (N2, N1))
+        exps = (2 * rev_n1[None, :] * j2_col[:, None]) % (2 * n)
+        twf = psi_pow[exps]
+        twi = ipsi_pow[exps]
+
+        per_limb["fw_s1"].append(quad(s1f, q))
+        per_limb["iv_s1"].append(quad(s1i, q))
+        per_limb["fw_s2"].append(quad(s2f, q))
+        per_limb["iv_s2"].append(quad(s2i, q))
+        per_limb["fw_tw"].append(quad(twf, q))
+        per_limb["iv_tw"].append(quad(twi, q))
+        q_words[l] = q
+        invn[l] = t.inv_degree
+        invn_s[l] = compute_shoup(t.inv_degree, q)
+
+    def stack(key):
+        quads = per_limb[key]
+        return tuple(
+            jnp.asarray(np.stack([quads[l][c] for l in range(L)], axis=0))
+            for c in range(4)
+        )
+
+    ql, qh = _split_u32(q_words)
+    il, ih = _split_u32(invn)
+    isl, ish = _split_u32(invn_s)
+    return NTTPlan(
+        fw_s1=stack("fw_s1"), fw_s2=stack("fw_s2"), fw_tw=stack("fw_tw"),
+        iv_s1=stack("iv_s1"), iv_s2=stack("iv_s2"), iv_tw=stack("iv_tw"),
+        q_lo=jnp.asarray(ql), q_hi=jnp.asarray(qh),
+        invn_lo=jnp.asarray(il), invn_hi=jnp.asarray(ih),
+        invn_slo=jnp.asarray(isl), invn_shi=jnp.asarray(ish),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _roll_up(x, s):
+    """out[r] = x[r + s] (cyclic) along the sublane axis."""
+    return pltpu.roll(x, np.int32(x.shape[0] - s), 0)
+
+
+def _roll_down(x, s):
+    """out[r] = x[r - s] (cyclic) along the sublane axis."""
+    return pltpu.roll(x, np.int32(s), 0)
+
+
+def _dit_stages(xl, xh, w_ref, n_stages, rows, cols, qlo, qhi, q2lo, q2hi,
+                first_stage_rowgap):
+    """Forward (Cooley-Tukey DIT) roll-based stages along the sublane axis.
+
+    Stage k pairs rows (r, r + s) with s = first_stage_rowgap >> k; the
+    per-row twiddle vector lives in column k of w_ref's four planes.
+    Values stay in Harvey-lazy [0, 4q).
+    """
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    for k in range(n_stages):
+        s = first_stage_rowgap >> k
+        wl = w_ref[0][0, :, k:k + 1]
+        wh = w_ref[1][0, :, k:k + 1]
+        wsl = w_ref[2][0, :, k:k + 1]
+        wsh = w_ref[3][0, :, k:k + 1]
+        is_a = (row_id & s) == 0
+        al, ah = u32.csub64(xl, xh, q2lo, q2hi)             # [0, 2q)
+        bl = _roll_up(xl, s)
+        bh = _roll_up(xh, s)
+        vl, vh = u32.mul_mod_shoup64(bl, bh, wl, wh, wsl, wsh, qlo, qhi,
+                                     lazy=True)             # [0, 2q)
+        sl, sh = u32.add64(al, ah, vl, vh)                  # [0, 4q)
+        tl, th = u32.add64(al, ah, q2lo, q2hi)
+        dl, dh = u32.sub64(tl, th, vl, vh)                  # [0, 4q)
+        dl = _roll_down(dl, s)
+        dh = _roll_down(dh, s)
+        xl = jnp.where(is_a, sl, dl)
+        xh = jnp.where(is_a, sh, dh)
+    return xl, xh
+
+
+def _gs_stages(xl, xh, w_ref, n_stages, rows, cols, qlo, qhi, q2lo, q2hi,
+               first_stage_rowgap):
+    """Inverse (Gentleman-Sande) roll-based stages along the sublane axis.
+
+    Stage k pairs rows at gap s = first_stage_rowgap << ... runs smallest
+    gap first: stage index k walks columns (n_stages-1 - k) of w_ref with
+    s = 1 << k ... the caller passes first_stage_rowgap = 1 and the stage
+    order is s = 1, 2, ..., 2^(n_stages-1).  Values stay in [0, 2q).
+    """
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    for k in range(n_stages):
+        s = first_stage_rowgap << k
+        col = n_stages - 1 - k
+        wl = w_ref[0][0, :, col:col + 1]
+        wh = w_ref[1][0, :, col:col + 1]
+        wsl = w_ref[2][0, :, col:col + 1]
+        wsh = w_ref[3][0, :, col:col + 1]
+        is_a = (row_id & s) == 0
+        bl = _roll_up(xl, s)
+        bh = _roll_up(xh, s)
+        ul, uh = u32.add64(xl, xh, bl, bh)                  # [0, 4q)
+        ul, uh = u32.csub64(ul, uh, q2lo, q2hi)             # [0, 2q)
+        tl, th = u32.add64(xl, xh, q2lo, q2hi)
+        tl, th = u32.sub64(tl, th, bl, bh)                  # [0, 4q)
+        vl, vh = u32.mul_mod_shoup64(tl, th, wl, wh, wsl, wsh, qlo, qhi,
+                                     lazy=True)             # [0, 2q)
+        vl = _roll_down(vl, s)
+        vh = _roll_down(vh, s)
+        xl = jnp.where(is_a, ul, vl)
+        xh = jnp.where(is_a, uh, vh)
+    return xl, xh
+
+
+def _fwd_kernel(lm_ref, qlo_ref, qhi_ref,
+                xlo_ref, xhi_ref,
+                s1lo, s1hi, s1slo, s1shi,
+                s2lo, s2hi, s2slo, s2shi,
+                twlo, twhi, twslo, twshi,
+                olo_ref, ohi_ref,
+                *, log_n1: int, n1: int):
+    l = pl.program_id(0)
+    qlo = qlo_ref[l]
+    qhi = qhi_ref[l]
+    q2lo = qlo + qlo
+    q2hi = qhi + qhi + (q2lo < qlo).astype(jnp.uint32)
+
+    xl = xlo_ref[0, 0]     # (N1, N2), [0, q)
+    xh = xhi_ref[0, 0]
+
+    # phase 1: row butterflies in natural layout, gaps N1/2 ... 1 rows
+    xl, xh = _dit_stages(xl, xh, (s1lo, s1hi, s1slo, s1shi), log_n1,
+                         n1, N2, qlo, qhi, q2lo, q2hi, n1 >> 1)
+
+    # transpose; pairs of the remaining stages are sublane-adjacent in T
+    xl = xl.T
+    xh = xh.T
+
+    # twist: elementwise * psi^(2*rev(j1)*j2)  -> [0, 2q)
+    xl, xh = u32.mul_mod_shoup64(
+        xl, xh, twlo[0], twhi[0], twslo[0], twshi[0], qlo, qhi, lazy=True)
+
+    # phase 2: column stages (now row stages of T), gaps N2/2 ... 1
+    xl, xh = _dit_stages(xl, xh, (s2lo, s2hi, s2slo, s2shi), LOG_N2,
+                         N2, n1, qlo, qhi, q2lo, q2hi, N2 >> 1)
+
+    # reduce [0,4q) -> [0,q) and restore natural layout
+    xl, xh = u32.csub64(xl, xh, q2lo, q2hi)
+    xl, xh = u32.csub64(xl, xh, qlo, qhi)
+    olo_ref[0, 0] = xl.T
+    ohi_ref[0, 0] = xh.T
+
+
+def _inv_kernel(lm_ref, qlo_ref, qhi_ref, slo_ref, shi_ref, sslo_ref, sshi_ref,
+                xlo_ref, xhi_ref,
+                s1lo, s1hi, s1slo, s1shi,
+                s2lo, s2hi, s2slo, s2shi,
+                twlo, twhi, twslo, twshi,
+                olo_ref, ohi_ref,
+                *, log_n1: int, n1: int):
+    l = pl.program_id(0)
+    qlo = qlo_ref[l]
+    qhi = qhi_ref[l]
+    q2lo = qlo + qlo
+    q2hi = qhi + qhi + (q2lo < qlo).astype(jnp.uint32)
+
+    xl = xlo_ref[0, 0].T    # (N2, N1): small-gap stages first
+    xh = xhi_ref[0, 0].T
+
+    # phase A: gaps 1 ... N2/2 along sublanes of T
+    xl, xh = _gs_stages(xl, xh, (s2lo, s2hi, s2slo, s2shi), LOG_N2,
+                        N2, n1, qlo, qhi, q2lo, q2hi, 1)
+
+    # twist: elementwise * psi^(-2*rev(j1)*j2)
+    xl, xh = u32.mul_mod_shoup64(
+        xl, xh, twlo[0], twhi[0], twslo[0], twshi[0], qlo, qhi, lazy=True)
+
+    xl = xl.T
+    xh = xh.T
+
+    # phase B: row stages in natural layout, gaps 1 ... N1/2 rows
+    xl, xh = _gs_stages(xl, xh, (s1lo, s1hi, s1slo, s1shi), log_n1,
+                        n1, N2, qlo, qhi, q2lo, q2hi, 1)
+
+    # fused final scale (n^{-1}, possibly folded with a caller constant),
+    # full reduction to [0, q)
+    sl = slo_ref[l]
+    sh = shi_ref[l]
+    ssl = sslo_ref[l]
+    ssh = sshi_ref[l]
+    xl, xh = u32.mul_mod_shoup64(xl, xh, sl, sh, ssl, ssh, qlo, qhi)
+    olo_ref[0, 0] = xl
+    ohi_ref[0, 0] = xh
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+def _call(x, plan: NTTPlan, limb_map, forward: bool, scale4=None):
+    n = plan.n
+    n1 = plan.n1
+    log_n1 = n1.bit_length() - 1
+    lead = x.shape[:-2]
+    Lc = x.shape[-2]
+    b = int(np.prod(lead)) if lead else 1
+    xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(b, Lc, n1, N2)
+    xhi = (x >> jnp.uint64(32)).astype(jnp.uint32).reshape(b, Lc, n1, N2)
+
+    lm = limb_map.astype(jnp.int32)
+    q_lo = jnp.take(plan.q_lo, lm)
+    q_hi = jnp.take(plan.q_hi, lm)
+    scalars = [lm, q_lo, q_hi]
+    if not forward:
+        if scale4 is None:
+            scale4 = (
+                jnp.take(plan.invn_lo, lm), jnp.take(plan.invn_hi, lm),
+                jnp.take(plan.invn_slo, lm), jnp.take(plan.invn_shi, lm),
+            )
+        scalars += list(scale4)
+
+    if forward:
+        tw = plan.fw_s1 + plan.fw_s2 + plan.fw_tw
+        kernel = partial(_fwd_kernel, log_n1=log_n1, n1=n1)
+    else:
+        tw = plan.iv_s1 + plan.iv_s2 + plan.iv_tw
+        kernel = partial(_inv_kernel, log_n1=log_n1, n1=n1)
+
+    zero = np.int32(0)  # x64 mode would otherwise emit i64 block indices
+
+    def data_map(l, bb, *_):
+        return (bb, l, zero, zero)
+
+    def tw_map(l, bb, lm_ref, *_):
+        return (lm_ref[l], zero, zero)
+
+    data_spec = pl.BlockSpec((1, 1, n1, N2), data_map, memory_space=pltpu.VMEM)
+    s1_spec = pl.BlockSpec((1, n1, log_n1), tw_map, memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((1, N2, LOG_N2), tw_map, memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((1, N2, n1), tw_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(Lc, b),
+        in_specs=[data_spec, data_spec] + [s1_spec] * 4 + [s2_spec] * 4
+                 + [tw_spec] * 4,
+        out_specs=[data_spec, data_spec],
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, Lc, n1, N2), jnp.uint32)] * 2
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*scalars, xlo, xhi, *tw)
+    out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
+    return out.reshape(lead + (Lc, n))
+
+
+def forward_ntt_pallas(x, tables) -> jnp.ndarray:
+    """Fused forward NTT; drop-in for ops.ntt.forward_ntt on supported N."""
+    return _call(x, tables.plan, tables.limb_map, forward=True)
+
+
+def inverse_ntt_pallas(x, tables, scale4=None) -> jnp.ndarray:
+    """Fused inverse NTT including the n^{-1} scale (or a caller-supplied
+    fused per-limb scale quad (lo, hi, shoup_lo, shoup_hi) that must already
+    include n^{-1})."""
+    return _call(x, tables.plan, tables.limb_map, forward=False, scale4=scale4)
