@@ -7,9 +7,11 @@ Config mirrors the reference's keyswitch bench harness
 (/root/reference/benchmark/keyswitch_bench.cu: N=2^15, 60-bit limbs); the
 reference repo publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against the first recorded TPU result (pinned below) — >1.0 means
-faster than round-1.
+faster than the round-1 jnp/uint64 path.
 
-Secondary metrics (NTT throughput) go to stderr.
+Measurement chains K keyswitches inside one jitted fori_loop so tunnel
+dispatch latency does not pollute the number.  Secondary metrics (NTT
+throughput) go to stderr.
 """
 
 from __future__ import annotations
@@ -20,8 +22,8 @@ import time
 
 import numpy as np
 
-# Round-1 recorded TPU v5e result (2026-08-17, jnp path, no Pallas NTT):
-# keyswitch 53.89 ms/op at N=2^15, 30 data + 15 special limbs.
+# First recorded TPU v5e result (2026-08-17, XLA-emulated uint64 path, no
+# Pallas NTT): keyswitch 53.89 ms/op at N=2^15, 30 data + 15 special limbs.
 PINNED_BASELINE_KEYSWITCH_PER_S = 18.556
 
 
@@ -29,11 +31,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_keyswitch(n, data_bits, num_data, size_p, iters=10):
+def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     import jax
     from tpu_fhe.core.modulus import CoeffModulus
     from tpu_fhe.core.params import EncryptionParameters, SchemeType
     from tpu_fhe.eval import evaluator as ev
+    from tpu_fhe.ops import w64
+    from tpu_fhe.ops.w64 import W64
+    from tpu_fhe.scheme.ciphertext import Ciphertext
     from tpu_fhe.scheme.context import FheContext
     from tpu_fhe.scheme.keys import SecretKey
 
@@ -51,6 +56,7 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=10):
     t0 = time.time()
     sk = SecretKey(ctx, key=5)
     rlk = sk.relin_key()
+    jax.block_until_ready(rlk.data)
     log(f"keygen ({time.time()-t0:.1f}s)")
 
     # size-3 ct stand-in at the top level (random residues are fine for perf)
@@ -61,49 +67,62 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=10):
         rng.integers(0, 1 << 60, size=(3, level.size, n), dtype=np.uint64)
         % qs[None, :, None]
     )
-    import jax.numpy as jnp
+    ct = Ciphertext(W64.from_np(data), chain_index=1, scale=2.0**40)
 
-    from tpu_fhe.scheme.ciphertext import Ciphertext
+    def chain(a, k, reps):
+        def body(i, acc):
+            out = ev.relinearize(ctx, acc, k)  # size-3 -> size-2
+            # re-expand to size 3 so the loop carries a fixed shape
+            return acc.with_data(w64.concat([out.data, out.data[0:1]], axis=0))
+        return jax.lax.fori_loop(0, reps, body, a)
 
-    ct = Ciphertext(jnp.asarray(data), chain_index=1, scale=2.0**40)
-
-    step = jax.jit(lambda a, k: ev.relinearize(ctx, a, k))
+    # dynamic trip count: one executable serves all rep counts, and the
+    # marginal time between two counts is pure device compute (a fixed
+    # D2H fetch pins completion; dispatch/tunnel overhead cancels out)
+    step = jax.jit(chain)
     t0 = time.time()
-    out = step(ct, rlk)
-    out.data.block_until_ready()
+    out = step(ct, rlk, 1)
+    np.asarray(out.data.lo[0, 0, :4])
     log(f"keyswitch compile+first ({time.time()-t0:.1f}s)")
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = step(ct, rlk)
-    out.data.block_until_ready()
-    dt = (time.time() - t0) / iters
-    log(f"keyswitch {dt*1e3:.2f} ms/op")
+    def timed(reps):
+        t0 = time.time()
+        out = step(ct, rlk, reps)
+        np.asarray(out.data.lo[0, 0, :4])
+        return time.time() - t0
+
+    timed(2)
+    dt = (timed(2 + iters) - timed(2)) / iters
+    log(f"keyswitch {dt*1e3:.2f} ms/op (marginal)")
     return 1.0 / dt
 
 
-def bench_ntt(n, limbs, iters=20):
+def bench_ntt(n, limbs, iters=50):
     import jax
-    import jax.numpy as jnp
     from tpu_fhe.core import numth
     from tpu_fhe.core.ntt_tables import make_ntt_tables
     from tpu_fhe.ops.ntt import build_device_ntt_tables, forward_ntt
+    from tpu_fhe.ops.w64 import W64
 
     host = [make_ntt_tables(n.bit_length() - 1, q)
             for q in numth.get_primes(n, 59, limbs)]
-    dev = build_device_ntt_tables(host)
+    dev = build_device_ntt_tables(host).to_device()
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.integers(0, 1 << 58, size=(limbs, n), dtype=np.uint64)
-    )
-    f = jax.jit(lambda v: forward_ntt(v, dev))
-    f(x).block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        y = f(x)
-    y.block_until_ready()
-    dt = (time.time() - t0) / iters
-    log(f"NTT logN={n.bit_length()-1} x{limbs} limbs: {dt*1e3:.2f} ms "
+    x = W64.from_np(rng.integers(0, 1 << 58, size=(limbs, n), dtype=np.uint64))
+
+    @jax.jit
+    def chain(v, reps):
+        return jax.lax.fori_loop(0, reps, lambda i, a: forward_ntt(a, dev), v)
+
+    def timed(reps):
+        t0 = time.time()
+        y = chain(x, reps)
+        np.asarray(y.lo[0, :4])
+        return time.time() - t0
+
+    timed(2)  # compile + warm
+    dt = (timed(2 + iters) - timed(2)) / iters
+    log(f"NTT logN={n.bit_length()-1} x{limbs} limbs: {dt*1e3:.3f} ms "
         f"({limbs/dt:.0f} limb-NTT/s)")
     return limbs / dt
 

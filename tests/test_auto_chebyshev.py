@@ -135,12 +135,12 @@ def test_raise_mod(stack):
     small = sk.decrypt(ct)
     lvl = ctx.level(ct.chain_index)
     small_coeff = _compose_signed(
-        np.asarray(inverse_ntt(small.data, lvl.ntt)), lvl.base
+        inverse_ntt(small.data, lvl.ntt).to_np(), lvl.base
     )
     big = sk.decrypt(raised)
     first = ctx.first_data_level
     big_coeff = _compose_signed(
-        np.asarray(inverse_ntt(big.data, first.ntt)), first.base
+        inverse_ntt(big.data, first.ntt).to_np(), first.base
     )
     residual = [(b - s) for b, s in zip(big_coeff, small_coeff)]
     assert all(r % q0 == 0 for r in residual)

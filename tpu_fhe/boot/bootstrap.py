@@ -680,10 +680,10 @@ class CkksBootstrapper:
 
 
 def jnp_add_mod(a, b, q):
-    from ..ops import modmath as mm
+    from ..ops import w64 as mm
 
     return mm.add_mod(a, b, q)
 
 
 def _ext_q(level):
-    return jnp.concatenate([level.mod.q, level.ks.p_mod.q])
+    return np.concatenate([level.mod.q, level.ks.p_mod.q])

@@ -52,15 +52,16 @@ def make_ntt_tables(log_n: int, modulus_value: int) -> NTTTables:
     psi_inv = numth.invert_mod(psi, q)
 
     def powers_bitrev(base: int) -> tuple[int, ...]:
-        out = [1] * n
         power = 1
         # natural order first, then scatter to bit-reversed positions
         naturals = [1] * n
         for i in range(1, n):
             power = (power * base) % q
             naturals[i] = power
+        rev = numth.bit_reverse_perm(log_n)
+        out = [0] * n
         for i in range(n):
-            out[numth.reverse_bits(i, log_n)] = naturals[i]
+            out[rev[i]] = naturals[i]
         return tuple(out)
 
     return NTTTables(

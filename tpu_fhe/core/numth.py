@@ -11,6 +11,7 @@ device tables elsewhere.
 from __future__ import annotations
 
 from functools import lru_cache
+from functools import lru_cache as _lru_cache
 
 
 def reverse_bits(value: int, bit_count: int) -> int:
@@ -20,6 +21,18 @@ def reverse_bits(value: int, bit_count: int) -> int:
         result = (result << 1) | (value & 1)
         value >>= 1
     return result
+
+
+@_lru_cache(maxsize=None)
+def bit_reverse_perm(bit_count: int):
+    """Vectorized bit-reversal permutation of [0, 2^bit_count) (cached)."""
+    import numpy as _np
+
+    arr = _np.arange(1 << bit_count, dtype=_np.int64)
+    rev = _np.zeros_like(arr)
+    for b in range(bit_count):
+        rev = (rev << 1) | ((arr >> b) & 1)
+    return rev
 
 
 def bit_reversal_permutation(log_n: int) -> list[int]:

@@ -19,7 +19,9 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import modmath as mm
+from ..ops import w64
+from ..ops import w64 as mm
+from ..ops.w64 import W64
 from ..ops.ntt import forward_ntt, inverse_ntt
 from ..scheme.ciphertext import Ciphertext, Plaintext
 from ..scheme.context import FheContext
@@ -110,8 +112,8 @@ def _crt_lift_addsub(ctx: FheContext, ct: Ciphertext, operand: float) -> list[in
     return [const % q for q in level.base.values]
 
 
-def _scalar_vec(level, residues: list[int]) -> jnp.ndarray:
-    return jnp.asarray(np.array(residues, dtype=np.uint64).reshape(-1, 1))
+def _scalar_vec(level, residues: list[int]) -> np.ndarray:
+    return np.array(residues, dtype=np.uint64).reshape(-1, 1)
 
 
 def mult_const_core(ctx: FheContext, ct: Ciphertext, operand: float) -> Ciphertext:
@@ -144,14 +146,14 @@ def add_const(ctx: FheContext, ct: Ciphertext, operand: float) -> Ciphertext:
     level = ctx.level(ct.chain_index)
     factors = _scalar_vec(level, _crt_lift_addsub(ctx, ct, operand))
     c0 = mm.add_mod(ct.data[0], factors, level.mod.q)
-    return ct.with_data(jnp.concatenate([c0[None], ct.data[1:]], axis=0))
+    return ct.with_data(w64.concat([c0[None], ct.data[1:]], axis=0))
 
 
 def sub_const(ctx: FheContext, ct: Ciphertext, operand: float) -> Ciphertext:
     level = ctx.level(ct.chain_index)
     factors = _scalar_vec(level, _crt_lift_addsub(ctx, ct, operand))
     c0 = mm.sub_mod(ct.data[0], factors, level.mod.q)
-    return ct.with_data(jnp.concatenate([c0[None], ct.data[1:]], axis=0))
+    return ct.with_data(w64.concat([c0[None], ct.data[1:]], axis=0))
 
 
 # --------------------------------------------------------------------------
@@ -301,23 +303,23 @@ def raise_mod(ctx: FheContext, ct: Ciphertext) -> Ciphertext:
     level = ctx.level(ct.chain_index)
     first = ctx.first_data_level
     coeff = inverse_ntt(ct.data, level.ntt)  # (size, L, N); only limb 0 used
-    c_l0 = coeff[:, 0:1, :]                  # (size, 1, N)
-    q0 = level.mod.q[0:1]                    # (1,1)
+    c_l0 = coeff[:, 0:1, :]                  # (size, 1, N) W64
+    q0 = level.mod.q[0:1]                    # (1,1) uint64 table
     half = q0 >> 1
     new_q = first.mod.q                      # (K, 1)
     # signed lift: v > q0/2 represents v - q0
-    is_neg = c_l0 > half
+    is_neg = w64.gt(c_l0, half)
     bigger = new_q > q0
-    lifted_up = c_l0 + (new_q - q0)                       # new_q > q0 branch
-    diff_small = new_q - mm.barrett_reduce_u64(q0, new_q, first.mod.ratio_hi)
+    lifted_up = w64.add(c_l0, new_q - q0)                 # new_q > q0 branch
+    diff_small = w64.sub(new_q, mm.barrett_reduce_u64(q0, new_q, first.mod.ratio_hi))
     lifted_down = mm.barrett_reduce_u64(
-        c_l0 + diff_small, new_q, first.mod.ratio_hi
+        w64.add(c_l0, diff_small), new_q, first.mod.ratio_hi
     )
     pos_small = mm.barrett_reduce_u64(c_l0, new_q, first.mod.ratio_hi)
-    raised = jnp.where(
+    raised = w64.where(
         bigger,
-        jnp.where(is_neg, lifted_up, c_l0),
-        jnp.where(is_neg, lifted_down, pos_small),
+        w64.where(is_neg, lifted_up, c_l0),
+        w64.where(is_neg, lifted_down, pos_small),
     )
     data = forward_ntt(raised, first.ntt)
     return replace(ct, data=data, chain_index=1)
@@ -333,12 +335,9 @@ def mult_by_monomial(ctx: FheContext, ct: Ciphertext, power: int) -> Ciphertext:
     mono = np.zeros((level.size, n), dtype=np.uint64)
     if power < n:
         mono[:, index] = 1
-        mono_dev = jnp.asarray(mono)
     else:
-        mono_dev = jnp.where(
-            jnp.arange(n)[None, :] == index, level.mod.q - 1, jnp.uint64(0)
-        )
-    mono_ntt = forward_ntt(mono_dev, level.ntt)
+        mono[:, index] = [qv - 1 for qv in level.base.values]
+    mono_ntt = forward_ntt(W64.from_np(mono), level.ntt)
     data = mm.mul_mod(
         ct.data, mono_ntt[None], level.mod.q, level.mod.ratio_lo,
         level.mod.ratio_hi,

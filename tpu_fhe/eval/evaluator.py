@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.params import SchemeType
-from ..ops import modmath as mm
+from ..ops import w64
+from ..ops import w64 as mm
+from ..ops.w64 import W64
 from ..ops.bconv import bconv_matmul
 from ..ops.galois import apply_galois_ntt, conj_elt, galois_elt_from_step
 from ..ops.ntt import forward_ntt, inverse_ntt
@@ -50,7 +52,7 @@ def add(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     else:
         big, small = (a, b) if a.size > b.size else (b, a)
         head = mm.add_mod(big.data[: small.size], small.data, level.mod.q)
-        data = jnp.concatenate([head, big.data[small.size:]], axis=0)
+        data = w64.concat([head, big.data[small.size:]], axis=0)
     return a.with_data(data)
 
 
@@ -61,11 +63,11 @@ def sub(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         data = mm.sub_mod(a.data, b.data, level.mod.q)
     elif a.size > b.size:
         head = mm.sub_mod(a.data[: b.size], b.data, level.mod.q)
-        data = jnp.concatenate([head, a.data[b.size:]], axis=0)
+        data = w64.concat([head, a.data[b.size:]], axis=0)
     else:
         head = mm.sub_mod(a.data, b.data[: a.size], level.mod.q)
         tail = mm.neg_mod(b.data[a.size:], level.mod.q)
-        data = jnp.concatenate([head, tail], axis=0)
+        data = w64.concat([head, tail], axis=0)
     return a.with_data(data)
 
 
@@ -77,13 +79,13 @@ def negate(ctx: FheContext, a: Ciphertext) -> Ciphertext:
 def add_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
     level = ctx.level(a.chain_index)
     head = mm.add_mod(a.data[0], pt.data, level.mod.q)
-    return a.with_data(jnp.concatenate([head[None], a.data[1:]], axis=0))
+    return a.with_data(w64.concat([head[None], a.data[1:]], axis=0))
 
 
 def sub_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
     level = ctx.level(a.chain_index)
     head = mm.sub_mod(a.data[0], pt.data, level.mod.q)
-    return a.with_data(jnp.concatenate([head[None], a.data[1:]], axis=0))
+    return a.with_data(w64.concat([head[None], a.data[1:]], axis=0))
 
 
 # --------------------------------------------------------------------------
@@ -106,7 +108,7 @@ def multiply(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     )
     return replace(
         a,
-        data=jnp.stack([c0, cross, c2]),
+        data=w64.stack([c0, cross, c2]),
         scale=a.scale * b.scale,
         noise_scale_deg=a.noise_scale_deg + b.noise_scale_deg,
     )
@@ -122,7 +124,7 @@ def square(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     cross = mm.add_mod(cross, cross, q)
     return replace(
         a,
-        data=jnp.stack([c0, cross, c2]),
+        data=w64.stack([c0, cross, c2]),
         scale=a.scale * a.scale,
         noise_scale_deg=a.noise_scale_deg * 2,
     )
@@ -150,7 +152,7 @@ def _check_level(a: Ciphertext, b: Ciphertext) -> int:
 # hybrid key switching (the hot path)
 # --------------------------------------------------------------------------
 
-def modup(ctx: FheContext, level: ContextLevel, c2_ntt: jnp.ndarray) -> jnp.ndarray:
+def modup(ctx: FheContext, level: ContextLevel, c2_ntt: W64) -> W64:
     """Digit-decompose c2 (NTT, (size_Ql, N)) into (beta, size_QlP, N).
 
     Mirrors DRNSTool::modup (src/rns_bconv.cu:530-628): iNTT, scale by the
@@ -170,30 +172,30 @@ def modup(ctx: FheContext, level: ContextLevel, c2_ntt: jnp.ndarray) -> jnp.ndar
             dt.comp_mod.ratio_hi,
         )
         conv_ntt = forward_ntt(conv, dt.comp_ntt)
-        full = jnp.concatenate(
+        full = w64.concat(
             [conv_ntt[: dt.start], c2_ntt[dt.start:dt.end], conv_ntt[dt.start:]],
             axis=0,
         )
         digits.append(full)
-    return jnp.stack(digits)
+    return w64.stack(digits)
 
 
 def key_inner_product(
-    ctx: FheContext, level: ContextLevel, t_mod_up: jnp.ndarray, key: RelinKey
-) -> jnp.ndarray:
+    ctx: FheContext, level: ContextLevel, t_mod_up: W64, key: RelinKey
+) -> W64:
     """(beta, size_QlP, N) x evk -> (2, size_QlP, N) with 128-bit lazy
     accumulation (src/eval_key_switch.cu:26-85)."""
     ks = level.ks
     size_Ql = level.size
     size_Q = ctx.params.size_Q
     evk = key.data  # (dnum, 2, size_QP, N)
-    evk_l = jnp.concatenate(
+    evk_l = w64.concat(
         [evk[:, :, :size_Ql, :], evk[:, :, size_Q:, :]], axis=2
     )  # (dnum, 2, size_QlP, N)
     beta = ks.beta
     shape = (2,) + t_mod_up.shape[1:]
-    acc_hi = jnp.zeros(shape, dtype=jnp.uint64)
-    acc_lo = jnp.zeros(shape, dtype=jnp.uint64)
+    acc_hi = w64.zeros(shape)
+    acc_lo = w64.zeros(shape)
     for d in range(beta):
         hi, lo = mm.mul_u64_full(t_mod_up[d][None], evk_l[d])
         acc_hi, acc_lo = mm.add_u128(acc_hi, acc_lo, hi, lo)
@@ -203,15 +205,17 @@ def key_inner_product(
 
 def _qlp_mod(level: ContextLevel):
     ks = level.ks
-    q = jnp.concatenate([level.mod.q, ks.p_mod.q])
-    rlo = jnp.concatenate([level.mod.ratio_lo, ks.p_mod.ratio_lo])
-    rhi = jnp.concatenate([level.mod.ratio_hi, ks.p_mod.ratio_hi])
+    import numpy as _np
+
+    q = _np.concatenate([level.mod.q, ks.p_mod.q])
+    rlo = _np.concatenate([level.mod.ratio_lo, ks.p_mod.ratio_lo])
+    rhi = _np.concatenate([level.mod.ratio_hi, ks.p_mod.ratio_hi])
     return q, rlo, rhi
 
 
 def moddown_from_ntt(
-    ctx: FheContext, level: ContextLevel, cx: jnp.ndarray
-) -> jnp.ndarray:
+    ctx: FheContext, level: ContextLevel, cx: W64
+) -> W64:
     """(..., size_QlP, N) NTT -> (..., size_Ql, N) NTT: subtract the BEHZ
     P->Ql conversion of the P part and scale by P^{-1}
     (DRNSTool::moddown_from_NTT, src/rns_bconv.cu:791-843)."""
@@ -230,8 +234,8 @@ def moddown_from_ntt(
 
 
 def keyswitch_core(
-    ctx: FheContext, level: ContextLevel, c2_ntt: jnp.ndarray, key: RelinKey
-) -> jnp.ndarray:
+    ctx: FheContext, level: ContextLevel, c2_ntt: W64, key: RelinKey
+) -> W64:
     """Full hybrid keyswitch of one polynomial: returns (2, size_Ql, N)."""
     t_mod_up = modup(ctx, level, c2_ntt)
     cx = key_inner_product(ctx, level, t_mod_up, key)
@@ -273,7 +277,7 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
         last_half, rest_mod.q, rest_mod.ratio_hi
     )  # (..., 1->broadcast? no: (size,1,N) vs (L-1,1)) -- handled below
     # broadcast the single limb across remaining limbs
-    reduced = jnp.broadcast_to(
+    reduced = w64.broadcast_to(
         reduced, a.data.shape[:-2] + (size_Ql - 1, a.data.shape[-1])
     )
     half_mod = mm.barrett_reduce_u64(half, rest_mod.q, rest_mod.ratio_hi)
@@ -334,4 +338,4 @@ def apply_galois_with_key(
     c0 = mm.add_mod(a.data[0], d[0], level.mod.q)
     new0 = apply_galois_ntt(c0, elt, ctx.n)
     new1 = apply_galois_ntt(d[1], elt, ctx.n)
-    return a.with_data(jnp.stack([new0, new1]))
+    return a.with_data(w64.stack([new0, new1]))

@@ -17,7 +17,9 @@ from dataclasses import replace
 
 import jax.numpy as jnp
 
-from ..ops import modmath as mm
+from ..ops import w64
+from ..ops import w64 as mm
+from ..ops.w64 import W64
 from ..ops.galois import apply_galois_ntt
 from ..scheme.ciphertext import Ciphertext, Plaintext
 from ..scheme.context import ContextLevel, FheContext
@@ -30,7 +32,7 @@ from .evaluator import (
 )
 
 
-def fast_rotation_precompute(ctx: FheContext, ct: Ciphertext) -> jnp.ndarray:
+def fast_rotation_precompute(ctx: FheContext, ct: Ciphertext) -> W64:
     """ONE modup of c1, shared across all rotations of this ct
     (EvalFastRotationPrecompute, src/evaluate.cu:3631-3658)."""
     level = ctx.level(ct.chain_index)
@@ -40,7 +42,7 @@ def fast_rotation_precompute(ctx: FheContext, ct: Ciphertext) -> jnp.ndarray:
 def fast_rotation_ext(
     ctx: FheContext,
     ct: Ciphertext,
-    precomp: jnp.ndarray,
+    precomp: W64,
     elt: int,
     key: RelinKey,
     add_first: bool,
@@ -75,10 +77,8 @@ def keyswitch_ext(ctx: FheContext, ct: Ciphertext) -> Ciphertext:
         ct.data, ks.big_p_mod_q, ks.big_p_mod_q_shoup, level.mod.q
     )
     size_P = ks.alpha
-    zeros = jnp.zeros(
-        (ct.size, size_P, ct.n), dtype=jnp.uint64
-    )
-    data = jnp.concatenate([scaled, zeros], axis=1)
+    zeros = w64.zeros((ct.size, size_P, ct.n))
+    data = w64.concat([scaled, zeros], axis=1)
     return ct.with_data(data)
 
 
@@ -117,7 +117,7 @@ def eval_add_ext(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
 def reset_poly_ext(ctx: FheContext, ct_ext: Ciphertext, index: int = 0) -> Ciphertext:
     """Zero one component (reference reset_poly_ext, used by BSGS outer)."""
-    data = ct_ext.data.at[index].set(jnp.zeros_like(ct_ext.data[index]))
+    data = ct_ext.data.at[index].set(w64.zeros_like(ct_ext.data[index]))
     return ct_ext.with_data(data)
 
 
@@ -125,4 +125,4 @@ def rotate_c0(ctx: FheContext, ct: Ciphertext, elt: int) -> Ciphertext:
     """Apply the automorphism to c0 only (reference rotate_c0,
     src/evaluate.cu:3981)."""
     c0 = apply_galois_ntt(ct.data[0], elt, ctx.n)
-    return ct.with_data(jnp.concatenate([c0[None], ct.data[1:]], axis=0))
+    return ct.with_data(w64.concat([c0[None], ct.data[1:]], axis=0))

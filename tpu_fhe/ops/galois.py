@@ -38,17 +38,16 @@ def _ntt_permutation(n: int, elt: int) -> np.ndarray:
     """perm with new[i] = old[perm[i]] for NTT-form automorphism sigma_elt."""
     log_n = n.bit_length() - 1
     two_n = 2 * n
-    e = np.array(
-        [2 * numth.reverse_bits(i, log_n) + 1 for i in range(n)], dtype=np.int64
-    )
+    e = 2 * numth.bit_reverse_perm(log_n) + 1
     pos_of_e = np.zeros(two_n, dtype=np.int64)
     pos_of_e[e] = np.arange(n)
     target = (e * elt) % two_n
     return pos_of_e[target]
 
 
-def apply_galois_ntt(x: jnp.ndarray, elt: int, n: int) -> jnp.ndarray:
-    """Apply sigma_elt to NTT-form data (..., N) via one gather."""
+def apply_galois_ntt(x, elt: int, n: int):
+    """Apply sigma_elt to NTT-form data (..., N) via one gather.
+    Works on W64 pairs and plain arrays alike (pure indexing)."""
     perm = jnp.asarray(_ntt_permutation(n, elt))
     return x[..., perm]
 
@@ -71,9 +70,13 @@ def _coeff_permutation(n: int, elt: int) -> tuple[np.ndarray, np.ndarray]:
     return src, neg
 
 
-def apply_galois_coeff(x: jnp.ndarray, elt: int, n: int, q) -> jnp.ndarray:
+def apply_galois_coeff(x, elt: int, n: int, q):
     """Apply sigma_elt to coefficient-form data (..., L, N); q is (L, 1)."""
+    from . import w64
+
     src, neg = _coeff_permutation(n, elt)
     gathered = x[..., jnp.asarray(src)]
+    if isinstance(x, w64.W64):
+        return w64.where(jnp.asarray(neg), w64.neg_mod(gathered, q), gathered)
     negated = jnp.where(gathered == 0, gathered, q - gathered)
     return jnp.where(jnp.asarray(neg), negated, gathered)

@@ -31,6 +31,56 @@ from ..core.ntt_tables import NTTTables, compute_shoup
 from . import modmath as mm
 
 
+class _LazyRows:
+    """Deferred numpy row-slice of a big host table.
+
+    slice_limbs on every chain level / keyswitch digit would copy gigabytes
+    of twiddle tables that the Pallas path never reads (it uses the shared
+    NTTPlan + limb_map).  This wrapper materializes (and caches) the slice
+    only when the CPU fallback actually touches it; numpy/jax consume it
+    transparently through __array__."""
+
+    __slots__ = ("_parent", "_idx", "_mat")
+
+    def __init__(self, parent, idx):
+        self._parent = parent
+        self._idx = np.asarray(idx)
+        self._mat = None
+
+    @property
+    def shape(self):
+        return (len(self._idx),) + tuple(self._parent.shape[1:])
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return self._parent.dtype
+
+    def _m(self) -> np.ndarray:
+        if self._mat is None:
+            self._mat = np.asarray(self._parent)[self._idx]
+        return self._mat
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._m()
+        return np.asarray(a, dtype) if dtype is not None else a
+
+    def __getitem__(self, k):
+        return self._m()[k]
+
+    def reshape(self, *s):
+        return self._m().reshape(*s)
+
+    @staticmethod
+    def make(parent, idx):
+        if isinstance(parent, _LazyRows):
+            return _LazyRows(parent._parent, parent._idx[np.asarray(idx)])
+        return _LazyRows(parent, idx)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DeviceNTTTables:
@@ -78,66 +128,82 @@ class DeviceNTTTables:
 
     @staticmethod
     def concat(a: "DeviceNTTTables", b: "DeviceNTTTables") -> "DeviceNTTTables":
-        import jax.numpy as _jnp
-
         flat_a = a.tree_flatten()[0][:9]
         flat_b = b.tree_flatten()[0][:9]
-        merged = [_jnp.concatenate([x, y], axis=0) for x, y in zip(flat_a, flat_b)]
+        merged = [
+            np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
+            for x, y in zip(flat_a, flat_b)
+        ]
         # both sides must be views of the same key-level plan
         plan = a.plan if a.plan is not None else b.plan
         lm = None
         if a.limb_map is not None and b.limb_map is not None:
-            lm = _jnp.concatenate([a.limb_map, b.limb_map])
+            lm = np.concatenate([a.limb_map, b.limb_map])
         return DeviceNTTTables(*merged, plan=plan, limb_map=lm)
+
+    def to_device(self) -> "DeviceNTTTables":
+        """One batched H2D transfer of this table's plan + scalars (see
+        utils/device.py); flat fallback twiddles stay host-side."""
+        from ..utils.device import ship_to_device
+
+        return ship_to_device([self])[0]
 
     def slice_limbs(self, indices: list[int]) -> "DeviceNTTTables":
         idx = np.asarray(indices)
         return DeviceNTTTables(
-            q=self.q[idx], ratio_lo=self.ratio_lo[idx], ratio_hi=self.ratio_hi[idx],
-            roots=self.roots[idx], roots_shoup=self.roots_shoup[idx],
-            inv_roots=self.inv_roots[idx], inv_roots_shoup=self.inv_roots_shoup[idx],
-            inv_degree=self.inv_degree[idx],
-            inv_degree_shoup=self.inv_degree_shoup[idx],
+            q=np.asarray(self.q)[idx],
+            ratio_lo=np.asarray(self.ratio_lo)[idx],
+            ratio_hi=np.asarray(self.ratio_hi)[idx],
+            roots=_LazyRows.make(self.roots, idx),
+            roots_shoup=_LazyRows.make(self.roots_shoup, idx),
+            inv_roots=_LazyRows.make(self.inv_roots, idx),
+            inv_roots_shoup=_LazyRows.make(self.inv_roots_shoup, idx),
+            inv_degree=np.asarray(self.inv_degree)[idx],
+            inv_degree_shoup=np.asarray(self.inv_degree_shoup)[idx],
             plan=self.plan,
             limb_map=None if self.limb_map is None else self.limb_map[idx],
         )
 
 
 def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
-    """Pack host twiddle tables (one per RNS limb) into device arrays."""
+    """Pack host twiddle tables (one per RNS limb).
+
+    Flat tables are kept as HOST numpy arrays: consumers close over them
+    inside jit, so they become compile-time constants transferred once per
+    compiled program — a context build enqueues no device work (the slow
+    path on a tunneled TPU was hundreds of tiny H2D transfers)."""
     n = tables[0].n
     qs = [t.modulus.value for t in tables]
 
     def arr2(vals):
-        return jnp.asarray(np.asarray(vals, dtype=np.uint64).reshape(len(tables), -1))
+        return np.asarray(vals, dtype=np.uint64).reshape(len(tables), -1)
+
+    from .ntt_pallas import _np_shoup, build_ntt_plan
 
     roots = np.array([t.root_powers for t in tables], dtype=np.uint64)
     inv_roots = np.array([t.inv_root_powers for t in tables], dtype=np.uint64)
-    roots_shoup = np.array(
-        [[compute_shoup(w, t.modulus.value) for w in t.root_powers] for t in tables],
-        dtype=np.uint64,
+    roots_shoup = np.stack(
+        [_np_shoup(roots[i], t.modulus.value) for i, t in enumerate(tables)]
     )
-    inv_roots_shoup = np.array(
-        [[compute_shoup(w, t.modulus.value) for w in t.inv_root_powers] for t in tables],
-        dtype=np.uint64,
+    inv_roots_shoup = np.stack(
+        [_np_shoup(inv_roots[i], t.modulus.value) for i, t in enumerate(tables)]
     )
-    from .ntt_pallas import build_ntt_plan
 
     plan = build_ntt_plan(tables)
     return DeviceNTTTables(
         q=arr2([[q] for q in qs]),
         ratio_lo=arr2([[t.modulus.const_ratio[0]] for t in tables]),
         ratio_hi=arr2([[t.modulus.const_ratio[1]] for t in tables]),
-        roots=jnp.asarray(roots),
-        roots_shoup=jnp.asarray(roots_shoup),
-        inv_roots=jnp.asarray(inv_roots),
-        inv_roots_shoup=jnp.asarray(inv_roots_shoup),
+        roots=roots,
+        roots_shoup=roots_shoup,
+        inv_roots=inv_roots,
+        inv_roots_shoup=inv_roots_shoup,
         inv_degree=arr2([[t.inv_degree] for t in tables]),
         inv_degree_shoup=arr2(
             [[compute_shoup(t.inv_degree, t.modulus.value)] for t in tables]
         ),
         plan=plan,
-        limb_map=None if plan is None else jnp.arange(len(tables), dtype=jnp.int32),
+        limb_map=None if plan is None else np.arange(len(tables), dtype=np.int32),
     )
 
 
@@ -151,20 +217,26 @@ def _pallas_ok(t: DeviceNTTTables) -> bool:
     )
 
 
-def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
+def forward_ntt(x, t: DeviceNTTTables):
     """Forward negacyclic NTT over the last axis.
 
-    x: (..., L, N) uint64 in [0, q).  Returns same shape/order as the golden
-    transform (evaluation at psi^(2*br(i)+1)).
+    x: (..., L, N) W64 (or uint64 array) in [0, q).  Returns the same type;
+    ordering matches the golden transform (evaluation at psi^(2*br(i)+1)).
     """
-    if _pallas_ok(t):
-        from .ntt_pallas import forward_ntt_pallas
+    from .w64 import W64
 
-        return forward_ntt_pallas(x, t)
+    if isinstance(x, W64):
+        if _pallas_ok(t):
+            from .ntt_pallas import forward_ntt_pallas
+
+            return forward_ntt_pallas(x, t)
+        return W64.from_u64(forward_ntt(x.to_u64(), t))
     n = t.n
     log_n = n.bit_length() - 1
     lead = x.shape[:-1]  # (..., L)
-    q = t.q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+    roots = np.asarray(t.roots)
+    roots_shoup = np.asarray(t.roots_shoup)
+    q = np.asarray(t.q).reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
     two_q = q * 2
 
     m = 1
@@ -172,8 +244,8 @@ def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
     while m < n:
         tt >>= 1
         # twiddles for this stage: slice [m, 2m) of bit-reversed table
-        w = jax.lax.slice_in_dim(t.roots, m, 2 * m, axis=1)
-        ws = jax.lax.slice_in_dim(t.roots_shoup, m, 2 * m, axis=1)
+        w = roots[:, m:2 * m]
+        ws = roots_shoup[:, m:2 * m]
         w = w.reshape((1,) * (len(lead) - 1) + (t.num_limbs, m, 1, 1))
         ws = ws.reshape(w.shape)
         xr = x.reshape(lead + (m, 2, tt))
@@ -189,22 +261,28 @@ def forward_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
     return x
 
 
-def inverse_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
+def inverse_ntt(x, t: DeviceNTTTables):
     """Inverse negacyclic NTT over the last axis (includes the 1/n scale)."""
-    if _pallas_ok(t):
-        from .ntt_pallas import inverse_ntt_pallas
+    from .w64 import W64
 
-        return inverse_ntt_pallas(x, t)
+    if isinstance(x, W64):
+        if _pallas_ok(t):
+            from .ntt_pallas import inverse_ntt_pallas
+
+            return inverse_ntt_pallas(x, t)
+        return W64.from_u64(inverse_ntt(x.to_u64(), t))
     n = t.n
     lead = x.shape[:-1]
-    q = t.q.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+    inv_roots = np.asarray(t.inv_roots)
+    inv_roots_shoup = np.asarray(t.inv_roots_shoup)
+    q = np.asarray(t.q).reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
 
     m = n
     tt = 1
     while m > 1:
         h = m >> 1
-        w = jax.lax.slice_in_dim(t.inv_roots, h, m, axis=1)
-        ws = jax.lax.slice_in_dim(t.inv_roots_shoup, h, m, axis=1)
+        w = inv_roots[:, h:m]
+        ws = inv_roots_shoup[:, h:m]
         w = w.reshape((1,) * (len(lead) - 1) + (t.num_limbs, h, 1, 1))
         ws = ws.reshape(w.shape)
         xr = x.reshape(lead + (h, 2, tt))
@@ -217,6 +295,6 @@ def inverse_ntt(x: jnp.ndarray, t: DeviceNTTTables) -> jnp.ndarray:
         x = jnp.stack([u, v], axis=-2).reshape(lead + (n,))
         tt <<= 1
         m = h
-    inv_n = t.inv_degree.reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
-    inv_n_shoup = t.inv_degree_shoup.reshape(inv_n.shape)
+    inv_n = np.asarray(t.inv_degree).reshape((1,) * (len(lead) - 1) + (t.num_limbs, 1))
+    inv_n_shoup = np.asarray(t.inv_degree_shoup).reshape(inv_n.shape)
     return mm.mul_mod_shoup(x, inv_n, inv_n_shoup, q)

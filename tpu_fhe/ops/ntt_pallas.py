@@ -127,101 +127,101 @@ class NTTPlan:
         return self.fw_tw[0].shape[-1]
 
 
-def build_ntt_plan(tables) -> NTTPlan | None:
-    """Build the kernel twiddle plan from host NTTTables (exact integers)."""
-    n = tables[0].n
-    if n < MIN_N:
-        return None
+def _np_shoup(vals: np.ndarray, q: int) -> np.ndarray:
+    """Vectorized floor(w * 2^64 / q) via numpy object ints (exact)."""
+    obj = (vals.astype(object) << 64) // q
+    return obj.astype(np.uint64)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _limb_plan(t):
+    """Per-limb plan pieces (cached: shared across contexts and rebuilds)."""
+    n = t.n
     n1 = n // N2
     log_n = n.bit_length() - 1
     log_n1 = log_n - LOG_N2
-    L = len(tables)
 
-    from ..core.ntt_tables import compute_shoup
-    from ..core.numth import reverse_bits
+    from ..core.numth import bit_reverse_perm
 
-    rev_n1 = np.array([reverse_bits(j, log_n1) for j in range(n1)])
+    rev_n1 = bit_reverse_perm(log_n1)
     j2_col = np.arange(N2)
+    q = t.modulus.value
+    roots = np.array(t.root_powers, dtype=np.uint64)
+    iroots = np.array(t.inv_root_powers, dtype=np.uint64)
 
-    def quad(vals: np.ndarray, q: int):
-        """(value lo/hi, shoup lo/hi) uint32 arrays from a uint64 array."""
-        s = np.empty_like(vals)
-        flat_v = vals.reshape(-1)
-        flat_s = s.reshape(-1)
-        for i in range(flat_v.size):
-            flat_s[i] = compute_shoup(int(flat_v[i]), q)
-        return (*_split_u32(vals), *_split_u32(s))
+    # power tables psi^e, psi^-e for e in [0, 2n) (fast exact ints)
+    psi_pow = np.zeros(2 * n, dtype=np.uint64)
+    ipsi_pow = np.zeros(2 * n, dtype=np.uint64)
+    p = pi = 1
+    for e in range(2 * n):
+        psi_pow[e] = p
+        ipsi_pow[e] = pi
+        p = (p * t.root) % q
+        pi = (pi * t.inv_root) % q
 
-    per_limb = {k: [] for k in ("fw_s1", "fw_s2", "fw_tw", "iv_s1", "iv_s2", "iv_tw")}
-    q_words = np.zeros((L,), dtype=np.uint64)
-    invn = np.zeros((L,), dtype=np.uint64)
-    invn_s = np.zeros((L,), dtype=np.uint64)
+    def quad(vals):
+        return (*_split_u32(vals), *_split_u32(_np_shoup(vals, q)))
 
-    for l, t in enumerate(tables):
-        q = t.modulus.value
-        roots = np.array(t.root_powers, dtype=np.uint64)
-        iroots = np.array(t.inv_root_powers, dtype=np.uint64)
+    # row-phase stage vectors (natural layout, rows j1)
+    r_idx = np.arange(n1)
+    s1f = np.zeros((n1, log_n1), dtype=np.uint64)
+    s1i = np.zeros((n1, log_n1), dtype=np.uint64)
+    for k in range(log_n1):
+        m = 1 << k
+        s = n1 >> (k + 1)
+        s1f[:, k] = roots[m + r_idx // (2 * s)]
+        s1i[:, k] = iroots[m + r_idx // (2 * s)]
 
-        # power tables psi^e, psi^-e for e in [0, 2n) (fast exact ints)
-        psi_pow = np.zeros(2 * n, dtype=np.uint64)
-        ipsi_pow = np.zeros(2 * n, dtype=np.uint64)
-        p = pi = 1
-        for e in range(2 * n):
-            psi_pow[e] = p
-            ipsi_pow[e] = pi
-            p = (p * t.root) % q
-            pi = (pi * t.inv_root) % q
+    # column-phase stage vectors (transposed layout, rows j2)
+    s2f = np.zeros((N2, LOG_N2), dtype=np.uint64)
+    s2i = np.zeros((N2, LOG_N2), dtype=np.uint64)
+    for kp in range(LOG_N2):
+        m = n1 << kp
+        tt = N2 >> (kp + 1)
+        s2f[:, kp] = roots[m + j2_col // (2 * tt)]
+        s2i[:, kp] = iroots[m + j2_col // (2 * tt)]
 
-        # row-phase stage vectors (natural layout, rows j1)
-        r_idx = np.arange(n1)
-        s1f = np.zeros((n1, log_n1), dtype=np.uint64)
-        s1i = np.zeros((n1, log_n1), dtype=np.uint64)
-        for k in range(log_n1):
-            m = 1 << k
-            s = n1 >> (k + 1)
-            s1f[:, k] = roots[m + r_idx // (2 * s)]
-            s1i[:, k] = iroots[m + r_idx // (2 * s)]
+    # twist tables (transposed layout (N2, N1))
+    exps = (2 * rev_n1[None, :] * j2_col[:, None]) % (2 * n)
+    return dict(
+        fw_s1=quad(s1f), iv_s1=quad(s1i),
+        fw_s2=quad(s2f), iv_s2=quad(s2i),
+        fw_tw=quad(psi_pow[exps]), iv_tw=quad(ipsi_pow[exps]),
+        invn=(t.inv_degree, int(_np_shoup(np.array([t.inv_degree], dtype=np.uint64), q)[0])),
+    )
 
-        # column-phase stage vectors (transposed layout, rows j2)
-        s2f = np.zeros((N2, LOG_N2), dtype=np.uint64)
-        s2i = np.zeros((N2, LOG_N2), dtype=np.uint64)
-        for kp in range(LOG_N2):
-            m = n1 << kp
-            tt = N2 >> (kp + 1)
-            s2f[:, kp] = roots[m + j2_col // (2 * tt)]
-            s2i[:, kp] = iroots[m + j2_col // (2 * tt)]
 
-        # twist tables (transposed layout (N2, N1))
-        exps = (2 * rev_n1[None, :] * j2_col[:, None]) % (2 * n)
-        twf = psi_pow[exps]
-        twi = ipsi_pow[exps]
+def build_ntt_plan(tables) -> NTTPlan | None:
+    """Build the kernel twiddle plan from host NTTTables (exact integers).
 
-        per_limb["fw_s1"].append(quad(s1f, q))
-        per_limb["iv_s1"].append(quad(s1i, q))
-        per_limb["fw_s2"].append(quad(s2f, q))
-        per_limb["iv_s2"].append(quad(s2i, q))
-        per_limb["fw_tw"].append(quad(twf, q))
-        per_limb["iv_tw"].append(quad(twi, q))
-        q_words[l] = q
-        invn[l] = t.inv_degree
-        invn_s[l] = compute_shoup(t.inv_degree, q)
+    All arrays stay HOST numpy: they reach the kernel as closed-over
+    compile-time constants, so plan construction does no device work."""
+    n = tables[0].n
+    if n < MIN_N:
+        return None
+    L = len(tables)
+    per = [_limb_plan(t) for t in tables]
 
     def stack(key):
-        quads = per_limb[key]
         return tuple(
-            jnp.asarray(np.stack([quads[l][c] for l in range(L)], axis=0))
+            np.stack([per[l][key][c] for l in range(L)], axis=0)
             for c in range(4)
         )
 
+    q_words = np.array([t.modulus.value for t in tables], dtype=np.uint64)
+    invn = np.array([per[l]["invn"][0] for l in range(L)], dtype=np.uint64)
+    invn_s = np.array([per[l]["invn"][1] for l in range(L)], dtype=np.uint64)
     ql, qh = _split_u32(q_words)
     il, ih = _split_u32(invn)
     isl, ish = _split_u32(invn_s)
     return NTTPlan(
         fw_s1=stack("fw_s1"), fw_s2=stack("fw_s2"), fw_tw=stack("fw_tw"),
         iv_s1=stack("iv_s1"), iv_s2=stack("iv_s2"), iv_tw=stack("iv_tw"),
-        q_lo=jnp.asarray(ql), q_hi=jnp.asarray(qh),
-        invn_lo=jnp.asarray(il), invn_hi=jnp.asarray(ih),
-        invn_slo=jnp.asarray(isl), invn_shi=jnp.asarray(ish),
+        q_lo=ql, q_hi=qh,
+        invn_lo=il, invn_hi=ih, invn_slo=isl, invn_shi=ish,
     )
 
 
@@ -391,14 +391,17 @@ def _inv_kernel(lm_ref, qlo_ref, qhi_ref, slo_ref, shi_ref, sslo_ref, sshi_ref,
 
 
 def _call(x, plan: NTTPlan, limb_map, forward: bool, scale4=None):
+    """x is a w64.W64 with shape (..., Lc, N); returns the same."""
+    from .w64 import W64
+
     n = plan.n
     n1 = plan.n1
     log_n1 = n1.bit_length() - 1
     lead = x.shape[:-2]
     Lc = x.shape[-2]
     b = int(np.prod(lead)) if lead else 1
-    xlo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(b, Lc, n1, N2)
-    xhi = (x >> jnp.uint64(32)).astype(jnp.uint32).reshape(b, Lc, n1, N2)
+    xlo = x.lo.reshape(b, Lc, n1, N2)
+    xhi = x.hi.reshape(b, Lc, n1, N2)
 
     lm = limb_map.astype(jnp.int32)
     q_lo = jnp.take(plan.q_lo, lm)
@@ -446,8 +449,8 @@ def _call(x, plan: NTTPlan, limb_map, forward: bool, scale4=None):
         out_shape=out_shape,
         interpret=_interpret(),
     )(*scalars, xlo, xhi, *tw)
-    out = olo.astype(jnp.uint64) | (ohi.astype(jnp.uint64) << jnp.uint64(32))
-    return out.reshape(lead + (Lc, n))
+    shape = lead + (Lc, n)
+    return W64(olo.reshape(shape), ohi.reshape(shape))
 
 
 def forward_ntt_pallas(x, tables) -> jnp.ndarray:

@@ -1,0 +1,288 @@
+"""W64: 64-bit values as (lo, hi) uint32 plane pairs — the canonical
+on-device representation for all big polynomial data.
+
+XLA's uint64 emulation on TPU is ~20-50x off roofline for the modular
+arithmetic mix FHE needs (measured: a full u32-pair Shoup mulmod runs ~7x
+faster than a single u64 split+merge round trip).  The framework therefore
+carries every ciphertext/key polynomial as two uint32 planes and performs
+all modular arithmetic with explicit 32-bit formulas (ops/u32pair.py), which
+XLA fuses into near-roofline vector code and which Pallas kernels consume
+with zero boundary conversion.
+
+API mirrors ops/modmath.py (the uint64 reference implementation, kept for
+the CPU NTT fallback and tests).  Operand polymorphism keeps call sites
+small: any operand may be a W64 or a uint64 jnp/np array (typically the
+small per-limb precompute tables, shape (L, 1), split on the fly); data
+outputs are always W64.  Behavioural contract matches the reference device
+layer (include/uintmodmath.cuh): Barrett 128->64 reduction with the
+two-word const_ratio, Shoup multiplication, lazy [0, 2q) variants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u32pair as u
+
+_MASK32 = jnp.uint64(0xFFFFFFFF)
+
+
+class _At:
+    """`w.at[idx].set(v)` forwarding to both planes."""
+
+    def __init__(self, w: "W64", idx):
+        self._w = w
+        self._idx = idx
+
+    def set(self, value) -> "W64":
+        v = as_w64(value)
+        return W64(
+            self._w.lo.at[self._idx].set(v.lo),
+            self._w.hi.at[self._idx].set(v.hi),
+        )
+
+
+class _AtProxy:
+    def __init__(self, w: "W64"):
+        self._w = w
+
+    def __getitem__(self, idx) -> _At:
+        return _At(self._w, idx)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class W64:
+    """A 64-bit array as two equally-shaped uint32 planes."""
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.lo, self.hi), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- numpy-ish surface -------------------------------------------------
+    @property
+    def shape(self):
+        return self.lo.shape
+
+    @property
+    def ndim(self):
+        return self.lo.ndim
+
+    def __getitem__(self, idx) -> "W64":
+        return W64(self.lo[idx], self.hi[idx])
+
+    @property
+    def at(self) -> _AtProxy:
+        return _AtProxy(self)
+
+    def reshape(self, *shape) -> "W64":
+        return W64(self.lo.reshape(*shape), self.hi.reshape(*shape))
+
+    # -- conversions -------------------------------------------------------
+    @staticmethod
+    def from_u64(x) -> "W64":
+        x = jnp.asarray(x, dtype=jnp.uint64)
+        return W64((x & _MASK32).astype(jnp.uint32),
+                   (x >> jnp.uint64(32)).astype(jnp.uint32))
+
+    @staticmethod
+    def from_np(x: np.ndarray) -> "W64":
+        """Host-side split (no u64 device ops)."""
+        x = np.asarray(x, dtype=np.uint64)
+        return W64(
+            jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    def to_u64(self) -> jnp.ndarray:
+        return self.lo.astype(jnp.uint64) | (self.hi.astype(jnp.uint64) << jnp.uint64(32))
+
+    def to_np(self) -> np.ndarray:
+        return (np.asarray(self.lo).astype(np.uint64)
+                | (np.asarray(self.hi).astype(np.uint64) << np.uint64(32)))
+
+
+def as_w64(x) -> W64:
+    if isinstance(x, W64):
+        return x
+    if isinstance(x, np.ndarray):
+        return W64.from_np(x)
+    return W64.from_u64(x)
+
+
+# -- array manipulation helpers ---------------------------------------------
+
+def stack(ws, axis: int = 0) -> W64:
+    ws = [as_w64(w) for w in ws]
+    return W64(jnp.stack([w.lo for w in ws], axis=axis),
+               jnp.stack([w.hi for w in ws], axis=axis))
+
+
+def concat(ws, axis: int = 0) -> W64:
+    ws = [as_w64(w) for w in ws]
+    return W64(jnp.concatenate([w.lo for w in ws], axis=axis),
+               jnp.concatenate([w.hi for w in ws], axis=axis))
+
+
+def zeros(shape) -> W64:
+    z = jnp.zeros(shape, dtype=jnp.uint32)
+    return W64(z, z)
+
+
+def zeros_like(w: W64) -> W64:
+    return zeros(w.shape)
+
+
+def where(cond, a, b) -> W64:
+    a, b = as_w64(a), as_w64(b)
+    return W64(jnp.where(cond, a.lo, b.lo), jnp.where(cond, a.hi, b.hi))
+
+
+def broadcast_to(w, shape) -> W64:
+    w = as_w64(w)
+    return W64(jnp.broadcast_to(w.lo, shape), jnp.broadcast_to(w.hi, shape))
+
+
+def full_like_scalar(shape, value: int) -> W64:
+    return W64(jnp.full(shape, value & 0xFFFFFFFF, dtype=jnp.uint32),
+               jnp.full(shape, (value >> 32) & 0xFFFFFFFF, dtype=jnp.uint32))
+
+
+# -- comparisons -------------------------------------------------------------
+
+def eq(a, b):
+    a, b = as_w64(a), as_w64(b)
+    return (a.lo == b.lo) & (a.hi == b.hi)
+
+
+def gt(a, b):
+    a, b = as_w64(a), as_w64(b)
+    return (a.hi > b.hi) | ((a.hi == b.hi) & (a.lo > b.lo))
+
+
+def geq(a, b):
+    a, b = as_w64(a), as_w64(b)
+    return (a.hi > b.hi) | ((a.hi == b.hi) & (a.lo >= b.lo))
+
+
+def is_zero(a):
+    a = as_w64(a)
+    return (a.lo == 0) & (a.hi == 0)
+
+
+# -- plain 64-bit arithmetic (wrapping) --------------------------------------
+
+def add(a, b) -> W64:
+    a, b = as_w64(a), as_w64(b)
+    return W64(*u.add64(a.lo, a.hi, b.lo, b.hi))
+
+
+def sub(a, b) -> W64:
+    a, b = as_w64(a), as_w64(b)
+    return W64(*u.sub64(a.lo, a.hi, b.lo, b.hi))
+
+
+def shift_right(a, k: int) -> W64:
+    a = as_w64(a)
+    if k == 0:
+        return a
+    if k < 32:
+        return W64((a.lo >> k) | (a.hi << (32 - k)), a.hi >> k)
+    return W64(a.hi >> (k - 32), jnp.zeros_like(a.hi))
+
+
+def mul_u64_full(a, b) -> tuple[W64, W64]:
+    """Full 64x64 -> 128-bit product as (hi, lo) W64 pair (modmath order)."""
+    a, b = as_w64(a), as_w64(b)
+    w0, w1, w2, w3 = u.mul64_full(a.lo, a.hi, b.lo, b.hi)
+    return W64(w2, w3), W64(w0, w1)
+
+
+def mul_u64_hi(a, b) -> W64:
+    a, b = as_w64(a), as_w64(b)
+    return W64(*u.mul64_hi(a.lo, a.hi, b.lo, b.hi))
+
+
+def mul_u64_lo(a, b) -> W64:
+    a, b = as_w64(a), as_w64(b)
+    return W64(*u.mul64_lo(a.lo, a.hi, b.lo, b.hi))
+
+
+def add_u128(a_hi, a_lo, b_hi, b_lo) -> tuple[W64, W64]:
+    """(a_hi:a_lo) + (b_hi:b_lo) mod 2^128 as (hi, lo) W64s."""
+    a_hi, a_lo, b_hi, b_lo = map(as_w64, (a_hi, a_lo, b_hi, b_lo))
+    lo = add(a_lo, b_lo)
+    carry_lo = gt(a_lo, lo).astype(jnp.uint32)  # 64-bit sum wrapped
+    hi = add(add(a_hi, b_hi), W64(carry_lo, jnp.zeros_like(carry_lo)))
+    return hi, lo
+
+
+# -- modular arithmetic ------------------------------------------------------
+
+def csub(a, q) -> W64:
+    a, q = as_w64(a), as_w64(q)
+    return W64(*u.csub64(a.lo, a.hi, q.lo, q.hi))
+
+
+def add_mod(a, b, q) -> W64:
+    a, b, q = as_w64(a), as_w64(b), as_w64(q)
+    return W64(*u.add_mod64(a.lo, a.hi, b.lo, b.hi, q.lo, q.hi))
+
+
+def sub_mod(a, b, q) -> W64:
+    a, b, q = as_w64(a), as_w64(b), as_w64(q)
+    return W64(*u.sub_mod64(a.lo, a.hi, b.lo, b.hi, q.lo, q.hi))
+
+
+def neg_mod(a, q) -> W64:
+    a, q = as_w64(a), as_w64(q)
+    d = sub(q, a)
+    return where(is_zero(a), a, d)
+
+
+def mul_mod_shoup_lazy(a, w, w_shoup, q) -> W64:
+    a, w, ws, q = as_w64(a), as_w64(w), as_w64(w_shoup), as_w64(q)
+    return W64(*u.mul_mod_shoup64(a.lo, a.hi, w.lo, w.hi, ws.lo, ws.hi,
+                                  q.lo, q.hi, lazy=True))
+
+
+def mul_mod_shoup(a, w, w_shoup, q) -> W64:
+    a, w, ws, q = as_w64(a), as_w64(w), as_w64(w_shoup), as_w64(q)
+    return W64(*u.mul_mod_shoup64(a.lo, a.hi, w.lo, w.hi, ws.lo, ws.hi,
+                                  q.lo, q.hi))
+
+
+def barrett_reduce_u128(x_hi, x_lo, q, ratio_lo, ratio_hi) -> W64:
+    """Reduce a 128-bit (hi, lo) value mod q (q < 2^61) via the two-word
+    Barrett ratio (mirrors barrett_reduce_uint128_uint64,
+    include/uintmodmath.cuh:96-136)."""
+    x_hi, x_lo = as_w64(x_hi), as_w64(x_lo)
+    q, r0, r1 = as_w64(q), as_w64(ratio_lo), as_w64(ratio_hi)
+    return W64(*u.barrett_reduce128(
+        x_lo.lo, x_lo.hi, x_hi.lo, x_hi.hi,
+        q.lo, q.hi, r0.lo, r0.hi, r1.lo, r1.hi,
+    ))
+
+
+def barrett_reduce_u64(x, q, ratio_hi) -> W64:
+    """Reduce a 64-bit value mod q using ratio_hi = floor(2^128/q) >> 64."""
+    x, q, rh = as_w64(x), as_w64(q), as_w64(ratio_hi)
+    tmp = mul_u64_hi(x, rh)
+    res = sub(x, mul_u64_lo(tmp, q))
+    return csub(res, q)
+
+
+def mul_mod(a, b, q, ratio_lo, ratio_hi) -> W64:
+    """a*b mod q via full product + Barrett (both operands variable)."""
+    hi, lo = mul_u64_full(a, b)
+    return barrett_reduce_u128(hi, lo, q, ratio_lo, ratio_hi)

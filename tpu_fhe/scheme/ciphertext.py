@@ -3,7 +3,7 @@
 Mirrors the metadata contract of the reference's PhantomCiphertext /
 PhantomPlaintext (include/ciphertext.h:7-407, include/plaintext.h) —
 chain_index, scale, correction factor (BGV), FLEXIBLEAUTO noise-scale degree
-— but as immutable pytrees: data is a (size, L, N) uint64 array, ops return
+— but as immutable pytrees: data is a (size, L, N) W64 u32-pair, ops return
 new objects, and metadata rides in the aux treedef so jit sees it as static.
 """
 
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class Ciphertext:
-    data: jnp.ndarray           # (size, L, N) uint64
+    data: object                # (size, L, N) W64 (u32-pair planes)
     chain_index: int            # index into the context chain (1 = fresh)
     scale: float = 1.0          # CKKS scaling factor
     correction_factor: int = 1  # BGV multiplicative correction
@@ -56,7 +56,7 @@ class Ciphertext:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class Plaintext:
-    data: jnp.ndarray           # (L, N) uint64 (RNS form) or (1, N) mod t (BFV)
+    data: object                # (L, N) W64 (RNS form) or (1, N) mod t (BFV)
     chain_index: int
     scale: float = 1.0
     noise_scale_deg: int = 1

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core.rns import RNSBase
 from ..ops.ntt import forward_ntt, inverse_ntt
+from ..ops.w64 import W64
 from .ciphertext import Plaintext
 from .context import FheContext
 
@@ -97,7 +98,7 @@ class CkksEncoder:
             raise ValueError("encoded values are too large for the modulus")
 
         data = _decompose_signed(rounded, level.base)
-        poly = forward_ntt(jnp.asarray(data), level.ntt)
+        poly = forward_ntt(W64.from_np(data), level.ntt)
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale, is_ntt_form=True
         )
@@ -129,7 +130,7 @@ class CkksEncoder:
         rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
         data = _decompose_signed(rounded, ext_base)
         ext_ntt = DeviceNTTTables.concat(level.ntt, ks.p_ntt)
-        poly = forward_ntt(jnp.asarray(data), ext_ntt)
+        poly = forward_ntt(W64.from_np(data), ext_ntt)
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale,
             noise_scale_deg=noise_scale_deg, is_ntt_form=True,
@@ -141,7 +142,7 @@ class CkksEncoder:
         data = pt.data
         if pt.is_ntt_form:
             data = inverse_ntt(data, level.ntt)
-        residues = np.asarray(data, dtype=np.uint64)
+        residues = data.to_np()
         coeffs = _compose_signed(residues, level.base)
         vals = self._embed_forward(np.asarray(coeffs, dtype=np.float64) / pt.scale)
         if slots is not None:

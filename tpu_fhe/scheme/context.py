@@ -25,17 +25,25 @@ from ..core.rns import BaseConverter, KeySwitchDigits, RNSBase
 from ..ops.ntt import DeviceNTTTables, build_device_ntt_tables
 
 
-def _u64(x) -> jnp.ndarray:
-    return jnp.asarray(np.asarray(x, dtype=np.uint64))
+def _u64(x) -> np.ndarray:
+    # Tables are BUILT in host numpy (device traffic during construction on
+    # a tunneled TPU costs ~100ms per array) and then shipped in ONE batched
+    # jax.device_put at the end of FheContext.__init__ (_device_all), so
+    # jitted consumers close over device arrays — hidden executable
+    # parameters — instead of numpy constants inlined into the HLO.
+    return np.asarray(x, dtype=np.uint64)
+
+
+from ..utils.device import _ship_to_device  # noqa: E402
 
 
 @dataclass(frozen=True)
 class ModulusVec:
-    """Per-limb modulus constants shaped (k, 1) for broadcasting over N."""
+    """Per-limb modulus constants shaped (k, 1), host numpy (see _u64)."""
 
-    q: jnp.ndarray
-    ratio_lo: jnp.ndarray
-    ratio_hi: jnp.ndarray
+    q: np.ndarray
+    ratio_lo: np.ndarray
+    ratio_hi: np.ndarray
 
     @staticmethod
     def from_moduli(mods: tuple[Modulus, ...]) -> "ModulusVec":
@@ -193,6 +201,10 @@ class FheContext:
                 )
             )
 
+        # one batched H2D transfer of every table (shared plan converted
+        # once); the CPU-fallback flat twiddles stay host-side and lazy.
+        self.chain, self.key_ntt = _ship_to_device([self.chain, self.key_ntt])
+
     def _build_keyswitch_tables(
         self,
         base_Ql: RNSBase,
@@ -226,7 +238,7 @@ class FheContext:
                 DigitTables(
                     start=rng.start,
                     end=rng.stop,
-                    qhat_mod_p=jnp.asarray(qhat_mod_p),
+                    qhat_mod_p=qhat_mod_p,
                     comp_mod=ModulusVec.from_moduli(comp.base),
                     comp_ntt=self.key_ntt.slice_limbs(comp_key_idx),
                 )
@@ -252,12 +264,12 @@ class FheContext:
         return KeySwitchTables(
             alpha=size_P,
             beta=digits.beta,
-            part_qhatinv=jnp.asarray(part_qhatinv),
-            part_qhatinv_shoup=jnp.asarray(part_qhatinv_shoup),
+            part_qhatinv=part_qhatinv,
+            part_qhatinv_shoup=part_qhatinv_shoup,
             digits=tuple(digit_tables),
             p_hatinv=_u64([[v] for v in p_base.q_hat_inv_mod_q]),
             p_hatinv_shoup=_u64([[v] for v in p_base.q_hat_inv_mod_q_shoup]),
-            p_hat_mod_q=jnp.asarray(np.array(p_to_q.q_hat_mod_p, dtype=np.uint64)),
+            p_hat_mod_q=np.array(p_to_q.q_hat_mod_p, dtype=np.uint64),
             p_mod=ModulusVec.from_moduli(p_base.base),
             p_ntt=self.key_ntt.slice_limbs(
                 [self.params.size_Q + j for j in range(size_P)]

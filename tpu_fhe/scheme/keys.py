@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.params import SchemeType
-from ..ops import modmath as mm
+from ..ops import w64
+from ..ops import w64 as mm
+from ..ops.w64 import W64
 from ..ops.galois import apply_galois_ntt, galois_elt_from_step
 from ..ops.ntt import forward_ntt, inverse_ntt
 from . import prng
@@ -31,7 +33,7 @@ from .context import FheContext
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class PublicKey:
-    data: jnp.ndarray  # (2, size_QP, N): [b, a]
+    data: "W64"  # (2, size_QP, N): [b, a]
 
     def tree_flatten(self):
         return (self.data,), None
@@ -46,7 +48,7 @@ class PublicKey:
 class RelinKey:
     """Hybrid KS key: data[d] = (b_d, a_d) at key level, d < dnum."""
 
-    data: jnp.ndarray  # (dnum, 2, size_QP, N)
+    data: "W64"  # (dnum, 2, size_QP, N)
 
     def tree_flatten(self):
         return (self.data,), None
@@ -82,18 +84,25 @@ class SecretKey:
         self._key = key
         kl = context.key_level
         k_sk, self._next = jax.random.split(key)
-        s_coeff = prng.sample_ternary(k_sk, context.n, kl.mod.q)
-        self.s_ntt = forward_ntt(s_coeff, kl.ntt)  # (size_QP, N)
+        # every device-compute path is jitted: the host-resident context
+        # tables become compile-time constants instead of per-op transfers
+        self.s_ntt = jax.jit(
+            lambda k: forward_ntt(prng.sample_ternary(k, context.n, kl.mod.q), kl.ntt)
+        )(k_sk)  # (size_QP, N) W64
+        self._enc_zero_jit = jax.jit(self._enc_zero_under)
+        self._kswitch_jit = jax.jit(self._kswitch_impl)
+        self._encrypt_jit = jax.jit(self._encrypt_symmetric_impl)
+        self._decrypt_jit = jax.jit(self._decrypt_impl)
 
     def _fresh_key(self):
         k, self._next = jax.random.split(self._next)
         return k
 
     def public_key(self) -> PublicKey:
-        return PublicKey(self._enc_zero_under(self._fresh_key(), self.s_ntt))
+        return PublicKey(self._enc_zero_jit(self._fresh_key(), self.s_ntt))
 
     # -- switching keys ---------------------------------------------------
-    def _enc_zero_under(self, rng_key, secret_ntt: jnp.ndarray) -> jnp.ndarray:
+    def _enc_zero_under(self, rng_key, secret_ntt: "W64") -> "W64":
         """(b, a) with b = -(a * secret + e) at key level (NTT form)."""
         ctx = self.context
         kl = ctx.key_level
@@ -104,10 +113,10 @@ class SecretKey:
         e = forward_ntt(prng.sample_cbd_error(k_e, ctx.n, kl.mod.q), kl.ntt)
         a_s = mm.mul_mod(a, secret_ntt, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi)
         b = mm.neg_mod(mm.add_mod(a_s, e, kl.mod.q), kl.mod.q)
-        return jnp.stack([b, a])
+        return w64.stack([b, a])
 
     def _kswitch_key(
-        self, target_ntt: jnp.ndarray, under_ntt: jnp.ndarray | None = None
+        self, target_ntt: "W64", under_ntt: "W64 | None" = None
     ) -> RelinKey:
         """Key-switching key: digit d = Enc_{under}(P * target * 1_{digit d}).
 
@@ -117,9 +126,17 @@ class SecretKey:
         c1 can be shared across many rotations (hoisting) and the
         automorphism is applied to the keyswitch output."""
         ctx = self.context
-        kl = ctx.key_level
         if under_ntt is None:
             under_ntt = self.s_ntt
+        size_P = ctx.params.size_P
+        size_Q = ctx.params.size_Q
+        dnum = (size_Q + size_P - 1) // size_P
+        rng_keys = jax.random.split(self._fresh_key(), dnum)
+        return RelinKey(self._kswitch_jit(rng_keys, target_ntt, under_ntt))
+
+    def _kswitch_impl(self, rng_keys, target_ntt: "W64", under_ntt: "W64") -> "W64":
+        ctx = self.context
+        kl = ctx.key_level
         size_P = ctx.params.size_P
         size_Q = ctx.params.size_Q
         dnum = (size_Q + size_P - 1) // size_P
@@ -128,11 +145,10 @@ class SecretKey:
         p_mod_q = np.array(
             [[big_p % m.value] for m in ctx.key_modulus], dtype=np.uint64
         )
-        p_mod_q = jnp.asarray(p_mod_q)
 
         keys = []
         for d in range(dnum):
-            pk = self._enc_zero_under(self._fresh_key(), under_ntt)
+            pk = self._enc_zero_under(rng_keys[d], under_ntt)
             start = d * size_P
             end = min(start + size_P, size_Q)
             sl = slice(start, end)
@@ -146,13 +162,13 @@ class SecretKey:
             b_piece = mm.add_mod(pk[0, sl], chunk, kl.mod.q[sl])
             pk = pk.at[0, sl].set(b_piece)
             keys.append(pk)
-        return RelinKey(jnp.stack(keys))
+        return w64.stack(keys)
 
     def relin_key(self) -> RelinKey:
         kl = self.context.key_level
-        s2 = mm.mul_mod(
-            self.s_ntt, self.s_ntt, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi
-        )
+        s2 = jax.jit(
+            lambda s: mm.mul_mod(s, s, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi)
+        )(self.s_ntt)
         return self._kswitch_key(s2)
 
     def galois_key(self, steps: list[int], include_conj: bool = False) -> GaloisKey:
@@ -179,10 +195,13 @@ class SecretKey:
     # -- encryption -------------------------------------------------------
     def encrypt_symmetric(self, pt: Plaintext) -> Ciphertext:
         """c = (b + m, a) with fresh (b, a) at the plaintext's level."""
+        return self._encrypt_jit(pt, self._fresh_key())
+
+    def _encrypt_symmetric_impl(self, pt: Plaintext, rng_key) -> Ciphertext:
         ctx = self.context
         level = ctx.level(pt.chain_index)
         idx = list(level.limb_indices)
-        k_a, k_e = jax.random.split(self._fresh_key())
+        k_a, k_e = jax.random.split(rng_key)
         a = prng.sample_uniform(
             k_a, level.size, ctx.n, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi,
@@ -193,7 +212,7 @@ class SecretKey:
         b = mm.neg_mod(mm.add_mod(a_s, e, level.mod.q), level.mod.q)
         c0 = mm.add_mod(b, pt.data, level.mod.q)
         return Ciphertext(
-            data=jnp.stack([c0, a]),
+            data=w64.stack([c0, a]),
             chain_index=pt.chain_index,
             scale=pt.scale,
             noise_scale_deg=pt.noise_scale_deg,
@@ -203,6 +222,9 @@ class SecretKey:
     # -- decryption -------------------------------------------------------
     def decrypt(self, ct: Ciphertext) -> Plaintext:
         """CKKS/BGV NTT-form decrypt: m = sum_i c_i s^i (NTT domain)."""
+        return self._decrypt_jit(ct)
+
+    def _decrypt_impl(self, ct: Ciphertext) -> Plaintext:
         ctx = self.context
         level = ctx.level(ct.chain_index)
         idx = jnp.asarray(list(level.limb_indices))
@@ -221,10 +243,25 @@ class SecretKey:
         )
 
 
+_ASYM_JIT: dict[int, object] = {}
+
+
 def encrypt_asymmetric(
     context: FheContext, pk: PublicKey, pt: Plaintext, rng_key
 ) -> Ciphertext:
     """c = (u*pk0 + e0 + m, u*pk1 + e1) at the plaintext's level."""
+    fn = _ASYM_JIT.get(id(context))
+    if fn is None:
+        fn = jax.jit(
+            lambda pk_, pt_, k_: _encrypt_asymmetric_impl(context, pk_, pt_, k_)
+        )
+        _ASYM_JIT[id(context)] = fn
+    return fn(pk, pt, rng_key)
+
+
+def _encrypt_asymmetric_impl(
+    context: FheContext, pk: PublicKey, pt: Plaintext, rng_key
+) -> Ciphertext:
     level = context.level(pt.chain_index)
     idx = jnp.asarray(list(level.limb_indices))
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
@@ -238,7 +275,7 @@ def encrypt_asymmetric(
     c0 = mm.add_mod(c0, pt.data, q)
     c1 = mm.add_mod(mm.mul_mod(u, pk1, q, rlo, rhi), e1, q)
     return Ciphertext(
-        data=jnp.stack([c0, c1]),
+        data=w64.stack([c0, c1]),
         chain_index=pt.chain_index,
         scale=pt.scale,
         noise_scale_deg=pt.noise_scale_deg,
