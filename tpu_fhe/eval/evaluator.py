@@ -152,15 +152,18 @@ def _check_level(a: Ciphertext, b: Ciphertext) -> int:
 # hybrid key switching (the hot path)
 # --------------------------------------------------------------------------
 
-def modup(ctx: FheContext, level: ContextLevel, c2_ntt: W64) -> W64:
-    """Digit-decompose c2 (NTT, (size_Ql, N)) into (beta, size_QlP, N).
+def modup(
+    ctx: FheContext, level: ContextLevel, c2: W64, *, is_ntt: bool = True
+) -> W64:
+    """Digit-decompose c2 ((size_Ql, N)) into (beta, size_QlP, N), NTT form.
 
     Mirrors DRNSTool::modup (src/rns_bconv.cu:530-628): iNTT, scale by the
     per-digit partQlHatInv, fast-convert each digit to the complement of
     QlP, NTT the converted limbs, and splice the digit's own NTT limbs in
-    unchanged."""
+    unchanged.  With is_ntt=False (BFV: coefficient-form input) the iNTT is
+    skipped and the digit's own limbs are forward-transformed instead."""
     ks = level.ks
-    c2_coeff = inverse_ntt(c2_ntt, level.ntt)
+    c2_coeff = inverse_ntt(c2, level.ntt) if is_ntt else c2
     scaled = mm.mul_mod_shoup(
         c2_coeff, ks.part_qhatinv, ks.part_qhatinv_shoup, level.mod.q
     )
@@ -172,8 +175,15 @@ def modup(ctx: FheContext, level: ContextLevel, c2_ntt: W64) -> W64:
             dt.comp_mod.ratio_hi,
         )
         conv_ntt = forward_ntt(conv, dt.comp_ntt)
+        if is_ntt:
+            own = c2[dt.start:dt.end]
+        else:
+            own = forward_ntt(
+                c2[dt.start:dt.end],
+                level.ntt.slice_limbs(list(range(dt.start, dt.end))),
+            )
         full = w64.concat(
-            [conv_ntt[: dt.start], c2_ntt[dt.start:dt.end], conv_ntt[dt.start:]],
+            [conv_ntt[: dt.start], own, conv_ntt[dt.start:]],
             axis=0,
         )
         digits.append(full)
@@ -214,11 +224,13 @@ def _qlp_mod(level: ContextLevel):
 
 
 def moddown_from_ntt(
-    ctx: FheContext, level: ContextLevel, cx: W64
+    ctx: FheContext, level: ContextLevel, cx: W64, *, output_ntt: bool = True
 ) -> W64:
-    """(..., size_QlP, N) NTT -> (..., size_Ql, N) NTT: subtract the BEHZ
+    """(..., size_QlP, N) NTT -> (..., size_Ql, N): subtract the BEHZ
     P->Ql conversion of the P part and scale by P^{-1}
-    (DRNSTool::moddown_from_NTT, src/rns_bconv.cu:791-843)."""
+    (DRNSTool::moddown_from_NTT, src/rns_bconv.cu:791-843).  With
+    output_ntt=False (BFV) the Ql part is inverse-transformed and the
+    subtraction happens in the coefficient domain instead."""
     ks = level.ks
     size_Ql = level.size
     p_part = inverse_ntt(cx[..., size_Ql:, :], ks.p_ntt)
@@ -226,20 +238,30 @@ def moddown_from_ntt(
     delta = bconv_matmul(
         scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
     )
-    delta_ntt = forward_ntt(delta, level.ntt)
-    diff = mm.sub_mod(cx[..., :size_Ql, :], delta_ntt, level.mod.q)
+    if output_ntt:
+        delta_ntt = forward_ntt(delta, level.ntt)
+        diff = mm.sub_mod(cx[..., :size_Ql, :], delta_ntt, level.mod.q)
+    else:
+        ql_coeff = inverse_ntt(cx[..., :size_Ql, :], level.ntt)
+        diff = mm.sub_mod(ql_coeff, delta, level.mod.q)
     return mm.mul_mod_shoup(
         diff, ks.big_pinv_mod_q, ks.big_pinv_mod_q_shoup, level.mod.q
     )
 
 
 def keyswitch_core(
-    ctx: FheContext, level: ContextLevel, c2_ntt: W64, key: RelinKey
+    ctx: FheContext,
+    level: ContextLevel,
+    c2: W64,
+    key: RelinKey,
+    *,
+    input_ntt: bool = True,
+    output_ntt: bool = True,
 ) -> W64:
     """Full hybrid keyswitch of one polynomial: returns (2, size_Ql, N)."""
-    t_mod_up = modup(ctx, level, c2_ntt)
+    t_mod_up = modup(ctx, level, c2, is_ntt=input_ntt)
     cx = key_inner_product(ctx, level, t_mod_up, key)
-    return moddown_from_ntt(ctx, level, cx)
+    return moddown_from_ntt(ctx, level, cx, output_ntt=output_ntt)
 
 
 def relinearize(ctx: FheContext, a: Ciphertext, rlk: RelinKey) -> Ciphertext:

@@ -219,6 +219,16 @@ class SecretKey:
             is_ntt_form=True,
         )
 
+    def encrypt_zero_symmetric(self, chain_index: int) -> Ciphertext:
+        """Fresh RLWE zero encryption (b, a) in NTT form at the level."""
+        level = self.context.level(chain_index)
+        pt = Plaintext(
+            data=w64.zeros((level.size, self.context.n)),
+            chain_index=chain_index,
+            is_ntt_form=True,
+        )
+        return self._encrypt_jit(pt, self._fresh_key())
+
     # -- decryption -------------------------------------------------------
     def decrypt(self, ct: Ciphertext) -> Plaintext:
         """CKKS/BGV NTT-form decrypt: m = sum_i c_i s^i (NTT domain)."""
