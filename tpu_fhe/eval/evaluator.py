@@ -234,10 +234,26 @@ def moddown_from_ntt(
     ks = level.ks
     size_Ql = level.size
     p_part = inverse_ntt(cx[..., size_Ql:, :], ks.p_ntt)
-    scaled = mm.mul_mod_shoup(p_part, ks.p_hatinv, ks.p_hatinv_shoup, ks.p_mod.q)
-    delta = bconv_matmul(
-        scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
-    )
+    if ctx.scheme == SchemeType.bgv:
+        # t-preserving subtraction (reference bgv_moddown_kernel): delta =
+        # t*U with U = [x * t^{-1}]_P, so delta = x (mod P) and 0 (mod t);
+        # the alpha*t*P conversion overshoot divides to alpha*t = 0 mod t.
+        scaled = mm.mul_mod_shoup(
+            p_part, ks.tinv_p_hatinv, ks.tinv_p_hatinv_shoup, ks.p_mod.q
+        )
+        conv = bconv_matmul(
+            scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
+            level.mod.ratio_hi,
+        )
+        delta = mm.mul_mod_shoup(conv, ks.t_mod_q, ks.t_mod_q_shoup, level.mod.q)
+    else:
+        scaled = mm.mul_mod_shoup(
+            p_part, ks.p_hatinv, ks.p_hatinv_shoup, ks.p_mod.q
+        )
+        delta = bconv_matmul(
+            scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
+            level.mod.ratio_hi,
+        )
     if output_ntt:
         delta_ntt = forward_ntt(delta, level.ntt)
         diff = mm.sub_mod(cx[..., :size_Ql, :], delta_ntt, level.mod.q)

@@ -89,6 +89,11 @@ class KeySwitchTables:
     p_hat_mod_t: jnp.ndarray | None = None       # (1, size_P)
     big_pinv_mod_t: int | None = None
     big_p_inv_mod_t_shoup: int | None = None
+    # BGV t-preserving moddown: [t^{-1} * Phat_j^{-1}]_{p_j} and t mod q_i
+    tinv_p_hatinv: jnp.ndarray | None = None     # (size_P, 1) + Shoup
+    tinv_p_hatinv_shoup: jnp.ndarray | None = None
+    t_mod_q: jnp.ndarray | None = None           # (size_Ql, 1) + Shoup
+    t_mod_q_shoup: jnp.ndarray | None = None
 
 
 @dataclass(frozen=True)
@@ -255,11 +260,26 @@ class FheContext:
         p_hat_mod_t = None
         big_pinv_mod_t = None
         big_pinv_mod_t_shoup = None
+        tinv_p_hatinv = tinv_p_hatinv_shoup = None
+        t_mod_q_arr = t_mod_q_shoup_arr = None
         if t is not None:
             p_to_t = BaseConverter(p_base, RNSBase((t,)))
             p_hat_mod_t = _u64(np.array(p_to_t.q_hat_mod_p, dtype=np.uint64))
             big_pinv_mod_t = numth.invert_mod(big_p % t.value, t.value)
             big_pinv_mod_t_shoup = compute_shoup(big_pinv_mod_t, t.value)
+            tv = t.value
+            tinv_vals = [
+                (numth.invert_mod(tv % p, p) * hinv) % p
+                for p, hinv in zip(p_base.values, p_base.q_hat_inv_mod_q)
+            ]
+            tinv_p_hatinv = _u64([[v] for v in tinv_vals])
+            tinv_p_hatinv_shoup = _u64(
+                [[compute_shoup(v, p)] for v, p in zip(tinv_vals, p_base.values)]
+            )
+            t_mod_q_arr = _u64([[tv % q] for q in base_Ql.values])
+            t_mod_q_shoup_arr = _u64(
+                [[compute_shoup(tv % q, q)] for q in base_Ql.values]
+            )
 
         return KeySwitchTables(
             alpha=size_P,
@@ -285,6 +305,10 @@ class FheContext:
             p_hat_mod_t=p_hat_mod_t,
             big_pinv_mod_t=big_pinv_mod_t,
             big_p_inv_mod_t_shoup=big_pinv_mod_t_shoup,
+            tinv_p_hatinv=tinv_p_hatinv,
+            tinv_p_hatinv_shoup=tinv_p_hatinv_shoup,
+            t_mod_q=t_mod_q_arr,
+            t_mod_q_shoup=t_mod_q_shoup_arr,
         )
 
     # -- chain helpers --------------------------------------------------

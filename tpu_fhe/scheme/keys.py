@@ -79,6 +79,14 @@ class SecretKey:
 
     def __init__(self, context: FheContext, key: jax.Array | int = 0):
         self.context = context
+        # BGV encrypts with t-scaled noise (b = -(a s + t e)); t mod q_i at
+        # the key level, sliced per level inside the samplers.
+        self._t_mod_key = None
+        if context.scheme == SchemeType.bgv:
+            t = context.params.plain_modulus.value
+            self._t_mod_key = np.array(
+                [[t % m.value] for m in context.key_modulus], dtype=np.uint64
+            )
         if isinstance(key, int):
             key = jax.random.key(key)
         self._key = key
@@ -98,6 +106,13 @@ class SecretKey:
         k, self._next = jax.random.split(self._next)
         return k
 
+    def _scale_error(self, e: "W64", level) -> "W64":
+        """t*e for BGV (reference: BGV encryptions carry t-scaled noise)."""
+        if self._t_mod_key is None:
+            return e
+        tm = self._t_mod_key[list(level.limb_indices)]
+        return mm.mul_mod(e, tm, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi)
+
     def public_key(self) -> PublicKey:
         return PublicKey(self._enc_zero_jit(self._fresh_key(), self.s_ntt))
 
@@ -110,7 +125,10 @@ class SecretKey:
         a = prng.sample_uniform(
             k_a, kl.size, ctx.n, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi
         )
-        e = forward_ntt(prng.sample_cbd_error(k_e, ctx.n, kl.mod.q), kl.ntt)
+        e = forward_ntt(
+            self._scale_error(prng.sample_cbd_error(k_e, ctx.n, kl.mod.q), kl),
+            kl.ntt,
+        )
         a_s = mm.mul_mod(a, secret_ntt, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi)
         b = mm.neg_mod(mm.add_mod(a_s, e, kl.mod.q), kl.mod.q)
         return w64.stack([b, a])
@@ -206,7 +224,12 @@ class SecretKey:
             k_a, level.size, ctx.n, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi,
         )
-        e = forward_ntt(prng.sample_cbd_error(k_e, ctx.n, level.mod.q), level.ntt)
+        e = forward_ntt(
+            self._scale_error(
+                prng.sample_cbd_error(k_e, ctx.n, level.mod.q), level
+            ),
+            level.ntt,
+        )
         s = self.s_ntt[jnp.asarray(idx)]
         a_s = mm.mul_mod(a, s, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi)
         b = mm.neg_mod(mm.add_mod(a_s, e, level.mod.q), level.mod.q)
@@ -277,8 +300,18 @@ def _encrypt_asymmetric_impl(
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
     k_u, k_e0, k_e1 = jax.random.split(rng_key, 3)
     u = forward_ntt(prng.sample_ternary(k_u, context.n, q), level.ntt)
-    e0 = forward_ntt(prng.sample_cbd_error(k_e0, context.n, q), level.ntt)
-    e1 = forward_ntt(prng.sample_cbd_error(k_e1, context.n, q), level.ntt)
+    e0c = prng.sample_cbd_error(k_e0, context.n, q)
+    e1c = prng.sample_cbd_error(k_e1, context.n, q)
+    if context.scheme == SchemeType.bgv:
+        t = context.params.plain_modulus.value
+        tm = np.array(
+            [[t % context.key_modulus[i].value] for i in level.limb_indices],
+            dtype=np.uint64,
+        )
+        e0c = mm.mul_mod(e0c, tm, q, rlo, rhi)
+        e1c = mm.mul_mod(e1c, tm, q, rlo, rhi)
+    e0 = forward_ntt(e0c, level.ntt)
+    e1 = forward_ntt(e1c, level.ntt)
     pk0 = pk.data[0, idx]
     pk1 = pk.data[1, idx]
     c0 = mm.add_mod(mm.mul_mod(u, pk0, q, rlo, rhi), e0, q)
