@@ -1,0 +1,173 @@
+"""Encrypted ResNet-20 / CIFAR-10 inference through the public API.
+
+TPU-native analog of the reference's Resnet app (Resnet/resnet.cu):
+N=2^16, 59-bit data primes, 60-bit first prime, 10x60-bit special primes,
+levelBudget {2,2}, 11 levels after bootstrap, sparse packing at
+(w << slotstr)^2 slots, ReluComposite activations with interleaved
+bootstraps.
+
+Full-scale run (TPU):   python examples/resnet20_infer.py --weights DIR --image cifar.npy
+Doll-scale demo (CPU):  python examples/resnet20_infer.py --cpu --demo
+The demo shrinks ring/width/planes but exercises the identical pipeline
+(conv/bn/ReluComposite+bootstrap/residual/downsample/pool+fc) and compares
+against the cleartext shadow of the same computation.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--demo", action="store_true", help="doll-scale config")
+    ap.add_argument("--n", type=int, default=0, help="ring degree override")
+    ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--planes", type=str, default="16,32,64")
+    ap.add_argument("--blocks", type=int, default=3, help="blocks per layer")
+    ap.add_argument("--weights", type=str, default="", help=".npy weight dir")
+    ap.add_argument("--image", type=str, default="", help="CIFAR .npy file")
+    ap.add_argument("--image-index", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu_fhe.boot.bootstrap import CkksBootstrapper
+    from tpu_fhe.core.modulus import CoeffModulus
+    from tpu_fhe.core.params import EncryptionParameters, SchemeType
+    from tpu_fhe.eval import auto
+    from tpu_fhe.models import resnet20 as rn
+    from tpu_fhe.models.dnn import DNN
+    from tpu_fhe.scheme.ckks_encoder import CkksEncoder
+    from tpu_fhe.scheme.context import FheContext
+    from tpu_fhe.scheme.keys import SecretKey
+
+    t0 = time.time()
+    if args.demo:
+        n = args.n or 256
+        width = min(args.width, 8)
+        planes = (2, 2, 2)
+        blocks = min(args.blocks, 1)
+        sine = (28, 3, 44)          # small-ring secret: sparse sine bound
+        levels_after = 8
+    else:
+        n = args.n or 1 << 16
+        width = args.width
+        planes = tuple(int(p) for p in args.planes.split(","))
+        blocks = args.blocks
+        sine = (512, 6, 88)         # reference's uniform-secret parameters
+        levels_after = 11
+
+    level_budget = (2, 2)
+    boot = None  # created after context
+
+    # parameter recipe mirrors Resnet/resnet.cu:16-54
+    first_mod, dcrt_bits, aux_mod, size_p = 60, 59, 60, 10 if not args.demo else 3
+
+    # bootstrap depth needs the sine params; compute via a throwaway helper
+    from tpu_fhe.eval import chebyshev as cheb
+    from tpu_fhe.boot.bootstrap import gen_sine_coefficients
+
+    approx = cheb.get_mult_depth_by_coeff_vector(
+        gen_sine_coefficients(*sine), normalized=False
+    )
+    boot_depth = approx + sine[1] + level_budget[0] + level_budget[1]
+    depth = levels_after + boot_depth
+    bits = [first_mod] + [dcrt_bits] * depth + [aux_mod] * size_p
+    print(f"[params] N={n} sizeQ={depth + 1} sizeP={size_p} "
+          f"boot_depth={boot_depth}")
+
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+        special_modulus_size=size_p,
+    )
+    ctx = FheContext(params)
+    enc = CkksEncoder(ctx)
+    sk = SecretKey(ctx, key=1)
+    print(f"[context] logQP={sum(m.bit_count for m in params.coeff_modulus)} "
+          f"({time.time() - t0:.1f}s)")
+
+    sf, _ = auto.scaling_factors(ctx)
+    model = DNN(ctx, enc, scale=sf[0])
+    rn.prepare_resnet20(model, sk, width=width)
+
+    slots = width * width
+    boot = CkksBootstrapper(ctx, enc)
+    boot.set_sine_params(*sine)
+    boot.setup(level_budget=level_budget, slots=slots)
+    boot.keygen(sk, slots=slots)
+    model.mul_key = boot.mul_key
+    print(f"[keys+bootstrap setup] ({time.time() - t0:.1f}s)")
+
+    rng = np.random.default_rng(17)
+    if args.weights:
+        weights = rn.load_weights(args.weights)
+    else:
+        weights = rn.random_weights(rng, planes=planes)
+    if args.image:
+        image = rn.load_cifar_image(args.image, args.image_index)
+    else:
+        image = rng.uniform(-0.5, 0.5, (width, width, 3))
+
+    # truncate blocks for quick drives
+    if blocks < 3:
+        full = rn.resnet20_infer
+        def truncated(x, model, bootstrapper, weights, log=print):
+            bn = weights["bn1"]
+            x = model.conv(x, weights["conv1"], 1)
+            x = model.batch_norm(x, bn.weight, bn.bias, bn.mean, bn.var)
+            x = model.relu_composite(x, bootstrapper)
+            for layer in (1, 2, 3):
+                for blk in range(blocks):
+                    log(f"layer {layer} block {blk + 1}")
+                    pre = f"layer{layer}_{blk}"
+                    stride = 2 if (layer > 1 and blk == 0) else 1
+                    x_skip = x
+                    b1 = weights[f"{pre}_bn1"]
+                    xm = model.conv(x, weights[f"{pre}_conv1"], stride)
+                    xm = model.batch_norm(xm, b1.weight, b1.bias, b1.mean, b1.var)
+                    xm = model.relu_composite(xm, bootstrapper)
+                    b2 = weights[f"{pre}_bn2"]
+                    xm = model.conv(xm, weights[f"{pre}_conv2"], 1)
+                    xm = model.batch_norm(xm, b2.weight, b2.bias, b2.mean, b2.var)
+                    if stride == 2:
+                        bd = weights[f"{pre}_downsample_1"]
+                        x_skip = model.conv(x_skip, weights[f"{pre}_downsample_0"], 2)
+                        x_skip = model.batch_norm(
+                            x_skip, bd.weight, bd.bias, bd.mean, bd.var)
+                    x = model.add(xm, x_skip)
+                    x = model.relu_composite(x, bootstrapper)
+            return model.avg_pool_full_con(x, weights["fc_weight"], weights["fc_bias"])
+        infer = truncated
+    else:
+        infer = rn.resnet20_infer
+
+    print("[inference] start")
+    t1 = time.time()
+    x = model.enc_tensor(image, sk=sk)
+    out = infer(x, model, boot, weights, log=lambda m: print(f"  {m} "
+                f"({time.time() - t1:.0f}s)"))
+    wall = time.time() - t1
+    logits = model.dec_tensor(out, sk)[0, 0, :]
+    print(f"[inference] done in {wall:.1f}s")
+    print(f"encrypted logits: {np.round(logits, 4)}")
+    print(f"predicted class:  {int(np.argmax(logits))}")
+
+    if not args.weights or blocks < 3:
+        # cleartext shadow uses exact relu; encrypted uses the composite —
+        # compare coarsely
+        if blocks == 3:
+            clear = rn.resnet20_infer_clear(image, weights)
+            print(f"cleartext logits: {np.round(clear, 4)}")
+            print(f"clear class:      {int(np.argmax(clear))}")
+
+
+if __name__ == "__main__":
+    main()

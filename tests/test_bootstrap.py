@@ -78,3 +78,42 @@ def test_bootstrap_dense_small_ring():
     prec = compute_bit_precision(got, x)
     print(f"bootstrap precision: {prec:.1f} bits, levels left: {levels_after}")
     assert prec > 10.0
+
+
+@pytest.mark.slow
+def test_bootstrap_sparse_small_ring():
+    """Sparse packing (slots < N/2): PartialSum + single real branch +
+    post-S2C fold (reference src/bootstrap.cu:1053-1109)."""
+    n = 64
+    slots = 8
+    size_q = 16
+    bits = [60] + [59] * (size_q - 1) + [60] * 3
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+        special_modulus_size=3,
+    )
+    ctx = FheContext(params)
+    enc = CkksEncoder(ctx)
+    sk = SecretKey(ctx, key=44)
+    sf, _ = auto.scaling_factors(ctx)
+
+    boot = CkksBootstrapper(ctx, enc)
+    boot.set_sine_params(28, 3, 44)
+    boot.setup(level_budget=(2, 2), slots=slots)
+    boot.keygen(sk, slots=slots)
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.8, 0.8, slots)
+    ct = sk.encrypt_symmetric(enc.encode(x, sf[0], slots=slots))
+    while ctx.level(ct.chain_index).size > 2:
+        ct = ev.mod_drop_to_next(ctx, ct)
+
+    out = boot.eval_bootstrap(ct, slots=slots)
+    levels_after = len(ctx.chain) - 1 - out.chain_index
+    assert levels_after >= 1
+    got = enc.decode(sk.decrypt(out), slots=slots).real
+    prec = compute_bit_precision(got, x)
+    print(f"sparse bootstrap precision: {prec:.1f} bits, levels left: {levels_after}")
+    assert prec > 10.0

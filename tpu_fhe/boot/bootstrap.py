@@ -119,12 +119,7 @@ class CkksBootstrapper:
             return
 
         m = 4 * slots
-        if m != M:
-            raise NotImplementedError(
-                "sparse-packed bootstrap precompute lands with the sparse "
-                "path (the reference's sparse path is marked non-working; "
-                "dense slots = N/2 is the validated configuration)"
-            )
+        sparse = m != M
         rot_group = np.empty(slots, dtype=np.int64)
         five = 1
         for i in range(slots):
@@ -145,17 +140,23 @@ class CkksBootstrapper:
         l_dec = L0 - depth_bt
 
         pre.a_c2s, pre.raw_c2s = self._coeffs_to_slots_precompute(
-            pre, ksi, rot_group, False, scale_enc, l_enc
+            pre, ksi, rot_group, False, scale_enc, l_enc, sparse
         )
         pre.a_s2c, pre.raw_s2c = self._slots_to_coeffs_precompute(
-            pre, ksi, rot_group, False, scale_dec, l_dec
+            pre, ksi, rot_group, False, scale_dec, l_dec, sparse
         )
 
     # ------------------------------------------------------------------
     def _coeffs_to_slots_precompute(
-        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L
+        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L, sparse=False
     ):
-        """EvalCoeffsToSlotsPrecompute (src/bootstrap.cu:183-394), dense."""
+        """EvalCoeffsToSlotsPrecompute (src/bootstrap.cu:183-394).
+
+        Sparse mode (slots < N/2, src/bootstrap.cu:326-390): each plaintext
+        concatenates the coefficient vector with its i-multiplied twin
+        (length 2*slots), rotations are reduced mod N/2, and encode_ext's
+        tiling replicates the pattern across the full slot set — this is
+        how the sparse path packs re and im into the single real branch."""
         ctx = self.ctx
         sf, _ = auto.scaling_factors(ctx)
         slots = pre.slots
@@ -184,6 +185,16 @@ class CkksBootstrapper:
             ci += 1
 
         coeff = bm.coeff_encoding_collapse(ksi, rot_group, level_budget, flag_i)
+        coeff_i = (
+            bm.coeff_encoding_collapse(ksi, rot_group, level_budget, True)
+            if sparse else None
+        )
+        rot_mod = (2 * ctx.n) // 4 if sparse else slots
+
+        def pick(s, idx):
+            if sparse:
+                return np.concatenate([coeff[s][idx], coeff_i[s][idx]])
+            return coeff[s][idx]
 
         result: list[list[Plaintext | None]] = []
         raw: list[list[np.ndarray | None]] = []
@@ -197,9 +208,10 @@ class CkksBootstrapper:
                 for j in range(g):
                     if g * i + j != num_rot:
                         rot = bm.reduce_rotation(
-                            -g * i * (1 << ((s - flag_rem) * layers + rem)), slots
+                            -g * i * (1 << ((s - flag_rem) * layers + rem)),
+                            rot_mod,
                         )
-                        vec = coeff[s][g * i + j]
+                        vec = pick(s, g * i + j)
                         if flag_rem == 0 and s == stop + 1:
                             vec = vec * scale
                         rotated = bm.rotate_vec(vec, rot)
@@ -213,8 +225,8 @@ class CkksBootstrapper:
             for i in range(b_rem):
                 for j in range(g_rem):
                     if g_rem * i + j != num_rot_rem:
-                        rot = bm.reduce_rotation(-g_rem * i, slots)
-                        vec = coeff[stop][g_rem * i + j] * scale
+                        rot = bm.reduce_rotation(-g_rem * i, rot_mod)
+                        vec = pick(stop, g_rem * i + j) * scale
                         rotated = bm.rotate_vec(vec, rot)
                         raw[stop][g_rem * i + j] = rotated
                         result[stop][g_rem * i + j] = self.encoder.encode_ext(
@@ -223,9 +235,10 @@ class CkksBootstrapper:
         return result, raw
 
     def _slots_to_coeffs_precompute(
-        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L
+        self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L, sparse=False
     ):
-        """EvalSlotsToCoeffsPrecompute (src/bootstrap.cu:396-590), dense."""
+        """EvalSlotsToCoeffsPrecompute (src/bootstrap.cu:396-590);
+        sparse mode mirrors the C2S concatenation (src/bootstrap.cu:527-590)."""
         ctx = self.ctx
         sf, _ = auto.scaling_factors(ctx)
         slots = pre.slots
@@ -249,6 +262,16 @@ class CkksBootstrapper:
         chain_vector = [chain_idx + s for s in range(level_budget - flag_rem + 1)]
 
         coeff = bm.coeff_decoding_collapse(ksi, rot_group, level_budget, flag_i)
+        coeff_i = (
+            bm.coeff_decoding_collapse(ksi, rot_group, level_budget, True)
+            if sparse else None
+        )
+        rot_mod = (2 * ctx.n) // 4 if sparse else slots
+
+        def pick(s, idx):
+            if sparse:
+                return np.concatenate([coeff[s][idx], coeff_i[s][idx]])
+            return coeff[s][idx]
 
         result: list[list[Plaintext | None]] = []
         raw: list[list[np.ndarray | None]] = []
@@ -262,9 +285,9 @@ class CkksBootstrapper:
                 for j in range(g):
                     if g * i + j != num_rot:
                         rot = bm.reduce_rotation(
-                            -g * i * (1 << (s * layers)), slots
+                            -g * i * (1 << (s * layers)), rot_mod
                         )
-                        vec = coeff[s][g * i + j]
+                        vec = pick(s, g * i + j)
                         if flag_rem == 0 and s == level_budget - flag_rem - 1:
                             vec = vec * scale
                         rotated = bm.rotate_vec(vec, rot)
@@ -278,9 +301,9 @@ class CkksBootstrapper:
                 for j in range(g_rem):
                     if g_rem * i + j != num_rot_rem:
                         rot = bm.reduce_rotation(
-                            -g_rem * i * (1 << (s * layers)), slots
+                            -g_rem * i * (1 << (s * layers)), rot_mod
                         )
-                        vec = coeff[s][g_rem * i + j] * scale
+                        vec = pick(s, g_rem * i + j) * scale
                         rotated = bm.rotate_vec(vec, rot)
                         raw[s][g_rem * i + j] = rotated
                         result[s][g_rem * i + j] = self.encoder.encode_ext(
@@ -633,42 +656,72 @@ class CkksBootstrapper:
         const_eval_mult = pre_scale * (1.0 / (self.k_bound * n))
         raised = auto.mult_const(ctx, raised, const_eval_mult)
 
-        if slots != M // 4:
-            raise NotImplementedError("sparse path lands in a later round")
+        if slots == M // 4:
+            # ---------------- FULLY PACKED ----------------
+            raised = auto.mod_reduce(ctx, raised, 1)
+            ctxt_enc = self.coeffs_to_slots(raised, slots)
 
-        # ---------------- CoeffsToSlots ----------------
-        raised = auto.mod_reduce(ctx, raised, 1)
-        ctxt_enc = self.coeffs_to_slots(raised, slots)
+            conj_key = self.galois_keys.key_for_elt(conj_elt(n))
+            conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
+            ctxt_enc_i = auto.eval_sub_auto(ctx, ctxt_enc, conj)
+            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
+            ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, 3 * M // 4)
 
-        conj_key = self.galois_keys.key_for_elt(conj_elt(n))
-        conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
-        ctxt_enc_i = auto.eval_sub_auto(ctx, ctxt_enc, conj)
-        ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
-        ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, 3 * M // 4)
+            if ctxt_enc.noise_scale_deg == 2:
+                ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+                ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
 
-        if ctxt_enc.noise_scale_deg == 2:
+            # approximate mod reduction (two branches: re and im)
+            ctxt_enc = cheb.eval_chebyshev_series(
+                ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
+            )
+            ctxt_enc_i = cheb.eval_chebyshev_series(
+                ctx, ctxt_enc_i, self.mul_key, coefficients, -1.0, 1.0
+            )
             ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
             ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
+            ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
+            ctxt_enc_i = self.apply_double_angle(ctxt_enc_i, self.r_iters)
 
-        # ---------------- approximate mod reduction ----------------
-        ctxt_enc = cheb.eval_chebyshev_series(
-            ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
-        )
-        ctxt_enc_i = cheb.eval_chebyshev_series(
-            ctx, ctxt_enc_i, self.mul_key, coefficients, -1.0, 1.0
-        )
-        ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
-        ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
-        ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
-        ctxt_enc_i = self.apply_double_angle(ctxt_enc_i, self.r_iters)
+            ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, M // 4)
+            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, ctxt_enc_i)
+            ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
 
-        ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, M // 4)
-        ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, ctxt_enc_i)
-        ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
+            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
+        else:
+            # ---------------- SPARSELY PACKED (src/bootstrap.cu:1053-1109)
+            # PartialSum: project onto the subring (the raise broke the
+            # stride-replicated structure)
+            gk = self.galois_keys
+            j = 1
+            while j < n // (2 * slots):
+                temp = ev.rotate(ctx, raised, j * slots, gk)
+                raised = auto.eval_add_auto(ctx, raised, temp)
+                j <<= 1
 
-        # ---------------- SlotsToCoeffs ----------------
-        ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
-        ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
+            raised = auto.mod_reduce(ctx, raised, 1)
+            ctxt_enc = self.coeffs_to_slots(raised, slots)
+
+            # single real branch: the C2S plaintexts pack [re, im] pairs
+            conj_key = self.galois_keys.key_for_elt(conj_elt(n))
+            conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
+            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
+            if ctxt_enc.noise_scale_deg == 2:
+                ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+
+            ctxt_enc = cheb.eval_chebyshev_series(
+                ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
+            )
+            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
+            ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
+
+            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
+            # fold the [re, im] halves back together
+            rotated = ev.rotate(ctx, ctxt_dec, slots, self.galois_keys)
+            ctxt_dec = auto.eval_add_auto(ctx, ctxt_dec, rotated)
 
         cor_factor = 1 << round(correction)
         ctxt_dec = auto.mult_by_integer(ctx, ctxt_dec, cor_factor)

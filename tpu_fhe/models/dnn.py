@@ -1,0 +1,346 @@
+"""Encrypted DNN layer library (PPML): conv / batchnorm / sign-composite
+ReLU / softmax / avgpool+FC over sparse-packed per-channel CKKS ciphertexts.
+
+TPU-native counterpart of the reference's DNN class (src/dnn.cu,
+include/dnn.cuh:33-82).  Layout contract (SURVEY.md section 8.6): channel k
+is one sparse-packed ciphertext holding the w x w image flattened row-major
+into (w << slotstr)^2 logical slots; stride-2 convolution leaves data in
+place and doubles the slot stride (result.slotstr = input.slotstr + 1), so
+rotation amounts are premultiplied by 2^slotstr and bootstrap runs at
+numSlots = (w << slotstr)^2.
+
+Deviation from the reference: per-channel loops go through the same jitted
+single-ct kernels (XLA caches one program per shape); a vmapped multi-channel
+path is a later optimization.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+
+from ..eval import auto, chebyshev as cheb, evaluator as ev
+from ..scheme.ciphertext import Ciphertext, Plaintext
+from ..scheme.context import FheContext
+from ..scheme.keys import GaloisKey, RelinKey, SecretKey, PublicKey, encrypt_asymmetric
+
+
+@dataclass
+class TensorCT:
+    """One ciphertext per channel (reference TensorCT, include/dnn.cuh:33)."""
+
+    cts: list[Ciphertext]
+    width: int
+    slotstr: int = 0
+
+    @property
+    def num_ch(self) -> int:
+        return len(self.cts)
+
+    @property
+    def num_slots(self) -> int:
+        return (self.width << self.slotstr) ** 2
+
+
+# 3-stage minimax sign composite, hard-coded odd degree-15 polynomials
+# (reference src/dnn.cu:170-191; public minimax-composite constants)
+_SIGN_COEFFS = [
+    [0, 0.667972070856, 0, -0.223989523020, 0, 0.136121229346, 0,
+     -0.099160550898, 0, 0.079224867308, 0, -0.067250088206, 0,
+     0.059852569462, 0, -0.503955481350],
+    [0, 0.955669291788, 0, -0.317870998995, 0, 0.189953989728, 0,
+     -0.134924463410, 0, 0.104260767625, 0, -0.084798113265, 0,
+     0.071534728674, 0, -0.282024623439],
+    [0, 1.254717353059, 0, -0.371638622338, 0, 0.175181567419, 0,
+     -0.085946606966, 0, 0.039326533561, 0, -0.015616729371, 0,
+     0.004903749402, 0, -0.000987938705],
+]
+_SIGN_RANGES = [(-1.0, 1.0), (-1.908, 1.908), (-1.332, 1.332)]
+
+
+class DNN:
+    """Encrypted-inference layer library bound to one context/encoder."""
+
+    def __init__(self, ctx: FheContext, encoder, scale: float | None = None):
+        self.ctx = ctx
+        self.encoder = encoder
+        sf, _ = auto.scaling_factors(ctx)
+        self.scale = scale if scale is not None else sf[0]
+        self.gk: GaloisKey | None = None
+        self.mul_key: RelinKey | None = None
+        self._pt_cache: dict = {}
+
+    # -- key management ----------------------------------------------------
+    @staticmethod
+    def conv_rotation_indices(
+        input_width: int, kernel_h: int, slotstr: int
+    ) -> list[int]:
+        """Rotation steps one conv layer needs (ComputeRotationIndices,
+        src/dnn.cu:277-296)."""
+        large_l = input_width * (1 << slotstr)
+        c = kernel_h // 2
+        out = set()
+        for j in range(kernel_h):
+            for i in range(kernel_h):
+                rot = (i - c) * large_l + (j - c)
+                out.add(rot << slotstr)
+        return sorted(out)
+
+    @staticmethod
+    def avgpool_rotation_indices(input_width: int, slotstr: int) -> list[int]:
+        """AddAvgPoolRotationsTo (src/dnn.cu:320-340)."""
+        log_l = int(math.log2(input_width))
+        pow_s = 1 << slotstr
+        out = []
+        for i in range(log_l):
+            out.append(pow_s << i)
+        for j in range(log_l):
+            out.append((pow_s << j) * input_width)
+        return out
+
+    def build_galois_key(self, sk: SecretKey, rotation_indices: list[int]):
+        steps = sorted({r for r in rotation_indices if r != 0})
+        self.gk = sk.galois_key(steps)
+
+    def relin_keygen(self, sk: SecretKey):
+        self.mul_key = sk.relin_key()
+
+    # -- encode / encrypt -----------------------------------------------------
+    def enc_tensor(
+        self, image: np.ndarray, pk: PublicKey | None = None,
+        sk: SecretKey | None = None, rng_key=None,
+    ) -> TensorCT:
+        """image (w, w, ch) -> per-channel sparse-packed ciphertexts
+        (EncTensor, src/dnn.cu:10-40)."""
+        image = np.asarray(image, dtype=np.float64)
+        w, _, ch = image.shape
+        cts = []
+        if rng_key is None:
+            rng_key = jax.random.key(0)
+        for k in range(ch):
+            vk = image[:, :, k].reshape(-1)  # row-major w*w
+            pt = self.encoder.encode(vk, self.scale, chain_index=1, slots=w * w)
+            if pk is not None:
+                rng_key, sub = jax.random.split(rng_key)
+                cts.append(encrypt_asymmetric(self.ctx, pk, pt, sub))
+            else:
+                cts.append(sk.encrypt_symmetric(pt))
+        return TensorCT(cts=cts, width=w, slotstr=0)
+
+    def dec_tensor(self, t: TensorCT, sk: SecretKey) -> np.ndarray:
+        """-> (w, w, ch) real array (DecTensor, src/dnn.cu:42-70)."""
+        w = t.width
+        stride = 1 << t.slotstr
+        big_w = w * stride
+        out = np.zeros((w, w, t.num_ch))
+        for k, ct in enumerate(t.cts):
+            vals = self.encoder.decode(sk.decrypt(ct), slots=big_w * big_w).real
+            grid = vals.reshape(big_w, big_w)
+            out[:, :, k] = grid[::stride, ::stride]
+        return out
+
+    def _encode_mask(self, mask: np.ndarray, ct: Ciphertext) -> Plaintext:
+        sf, _ = auto.scaling_factors(self.ctx)
+        lvl = auto._level(ct)
+        return self.encoder.encode(
+            mask, sf[lvl], chain_index=ct.chain_index, slots=len(mask)
+        )
+
+    # -- layers -------------------------------------------------------------
+    def conv(self, t: TensorCT, weight: np.ndarray, stride: int = 1) -> TensorCT:
+        """SISO rotate-mask-accumulate convolution (Conv, src/dnn.cu:82-150).
+
+        weight: (kh, kw, in_ch, out_ch); zero padding; stride 2 doubles the
+        slot stride instead of moving data."""
+        ctx = self.ctx
+        assert stride in (1, 2)
+        kh, kw, in_ch, out_ch = weight.shape
+        assert kh == kw and in_ch == t.num_ch
+        w = t.width
+        pow_s = 1 << t.slotstr
+        large_l = w * pow_s
+        c = kh // 2
+
+        # mask zero pattern depends only on (i, j) (boundary), its value
+        # only on the weight scalar: build each boundary mask once
+        bound = {}
+        for j in range(kh):
+            for i in range(kh):
+                m = np.zeros(large_l * large_l)
+                for ip in range(w):
+                    for jp in range(w):
+                        if 0 <= ip + i - c <= w - 1 and 0 <= jp + j - c <= w - 1:
+                            m[(ip * large_l + jp) * pow_s] = 1.0
+                bound[(i, j)] = m
+
+        out_cts: list[Ciphertext | None] = [None] * out_ch
+        for k in range(in_ch):
+            # hoist: each (i, j) rotation of input channel k is shared by
+            # every output channel
+            rotated = {}
+            for j in range(kh):
+                for i in range(kh):
+                    rot = ((i - c) * large_l + (j - c)) * pow_s
+                    rotated[(i, j)] = (
+                        ev.rotate(ctx, t.cts[k], rot, self.gk) if rot != 0
+                        else t.cts[k]
+                    )
+            for h in range(out_ch):
+                for j in range(kh):
+                    for i in range(kh):
+                        wv = float(weight[i, j, k, h])
+                        if wv == 0.0:
+                            continue
+                        mask = bound[(i, j)] * wv
+                        pt = self._encode_mask(mask, rotated[(i, j)])
+                        term = auto.eval_mult_plain_auto(ctx, rotated[(i, j)], pt)
+                        out_cts[h] = term if out_cts[h] is None else \
+                            auto.eval_add_auto(ctx, out_cts[h], term)
+        return TensorCT(
+            cts=out_cts,
+            width=w // stride,
+            slotstr=t.slotstr + 1 if stride == 2 else t.slotstr,
+        )
+
+    def batch_norm(
+        self, t: TensorCT, weight, bias, mean, var, eps: float = 1e-5
+    ) -> TensorCT:
+        """Folded affine a*x + b per channel (BatchNorm, src/dnn.cu:454-480)."""
+        ctx = self.ctx
+        cts = []
+        for c_idx, ct in enumerate(t.cts):
+            a = float(weight[c_idx]) / math.sqrt(float(var[c_idx]) + eps)
+            b = float(bias[c_idx]) - a * float(mean[c_idx])
+            out = auto.mult_const(ctx, ct, a)
+            out = auto.add_const(ctx, out, b)
+            cts.append(out)
+        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+
+    def relu(self, t: TensorCT, a: float, b: float, deg: int) -> TensorCT:
+        """Chebyshev max(0, x) (Relu, src/dnn.cu:152-168)."""
+        coeffs = cheb.eval_chebyshev_coefficients(
+            lambda x: max(0.0, x), a, b, deg
+        )
+        cts = [
+            cheb.eval_chebyshev_series(self.ctx, ct, self.mul_key, coeffs, a, b)
+            for ct in t.cts
+        ]
+        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+
+    def sign(self, t: TensorCT, k: int) -> TensorCT:
+        """Stage k of the 3-stage minimax sign composite
+        (Sign, src/dnn.cu:170-191)."""
+        a, b = _SIGN_RANGES[k]
+        cts = [
+            cheb.eval_chebyshev_series(
+                self.ctx, ct, self.mul_key, _SIGN_COEFFS[k], a, b
+            )
+            for ct in t.cts
+        ]
+        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+
+    def bootstrap(self, t: TensorCT, bootstrapper) -> TensorCT:
+        """Per-channel EvalBootstrap at numSlots = (w << slotstr)^2
+        (BootStrap, src/dnn.cu:265-276)."""
+        slots = t.num_slots
+        cts = [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in t.cts]
+        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+
+    def relu_composite(self, t: TensorCT, bootstrapper) -> TensorCT:
+        """ReLU(x) = x * (sign(sign(sign(0.1 x))) + 1) / 2 with three
+        interleaved bootstraps (ReluComposite, src/dnn.cu:193-243)."""
+        ctx = self.ctx
+        slots = t.num_slots
+        sign_cts = [auto.mult_const(ctx, ct, 0.1) for ct in t.cts]
+        s = TensorCT(sign_cts, t.width, t.slotstr)
+        s = self.sign(s, 0)
+        s = TensorCT(
+            [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in s.cts],
+            t.width, t.slotstr,
+        )
+        s = self.sign(s, 1)
+        s = TensorCT(
+            [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in s.cts],
+            t.width, t.slotstr,
+        )
+        s = self.sign(s, 2)
+        out_cts = []
+        for i, ct in enumerate(s.cts):
+            plus1 = auto.add_const(ctx, ct, 1.0)
+            halfx = auto.mult_const(ctx, t.cts[i], 0.5)
+            out_cts.append(auto.eval_mult_auto(ctx, plus1, halfx, self.mul_key))
+        out_cts = [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in out_cts]
+        return TensorCT(out_cts, t.width, t.slotstr)
+
+    def softmax(
+        self, t: TensorCT, bound_b: int = 64, bound_r: int = 64,
+        gumbel_lambda: int = 4, goldschmidt_d: int = 4,
+    ) -> TensorCT:
+        """Gumbel softmax: exp via Chebyshev + repeated squaring, 1/sum via
+        Goldschmidt (SoftMax, src/dnn.cu:349-395)."""
+        ctx = self.ctx
+        rlk = self.mul_key
+        coeffs = cheb.eval_chebyshev_coefficients(math.exp, -1.0, 1.0, 12)
+        log_b = int(math.log2(bound_b))
+        log_lam = int(math.log2(gumbel_lambda))
+        cts = []
+        sum_ct = None
+        for k, ct in enumerate(t.cts):
+            x = auto.mult_const(ctx, ct, 1.0 / bound_b)
+            x = cheb.eval_chebyshev_series(ctx, x, rlk, coeffs, -1.0, 1.0)
+            for _ in range(log_b - log_lam):
+                x = auto.eval_square_auto(ctx, x, rlk)
+            cts.append(x)
+            sum_ct = x if sum_ct is None else auto.eval_add_auto(ctx, sum_ct, x)
+        sum_ct = auto.mult_const(ctx, sum_ct, -1.0 / bound_r)
+        sum_ct = auto.add_const(ctx, sum_ct, 2.0)
+        temp = auto.add_const(ctx, sum_ct, -1.0)
+        for _ in range(goldschmidt_d):
+            temp = auto.eval_square_auto(ctx, temp, rlk)
+            temp2 = auto.add_const(ctx, temp, 1.0)
+            sum_ct = auto.eval_mult_auto(ctx, sum_ct, temp2, rlk)
+        out = [auto.eval_mult_auto(ctx, ct, sum_ct, rlk) for ct in cts]
+        return TensorCT(out, t.width, t.slotstr)
+
+    def avg_pool_full_con(
+        self, t: TensorCT, weight: np.ndarray, bias: np.ndarray
+    ) -> TensorCT:
+        """Log-rotation full-image sum, then weighted FC + bias
+        (AvgPoolFullCon, src/dnn.cu:397-452).  Note: like the reference,
+        the sum lands in slot 0 of each channel; weight is (T, t)."""
+        ctx = self.ctx
+        T, tc = weight.shape
+        assert tc == t.num_ch
+        pow_s = 1 << t.slotstr
+        log_l = int(math.log2(t.width))
+        summed = []
+        for ct in t.cts:
+            acc = ct
+            for i in range(log_l):
+                acc = auto.eval_add_auto(
+                    ctx, ev.rotate(ctx, acc, pow_s << i, self.gk), acc
+                )
+            for j in range(log_l):
+                acc = auto.eval_add_auto(
+                    ctx, ev.rotate(ctx, acc, (pow_s << j) * t.width, self.gk), acc
+                )
+            summed.append(acc)
+        out: list[Ciphertext | None] = [None] * T
+        for u in range(T):
+            for k in range(tc):
+                term = auto.mult_const(ctx, summed[k], float(weight[u, k]))
+                out[u] = term if out[u] is None else \
+                    auto.eval_add_auto(ctx, out[u], term)
+        out = [auto.add_const(ctx, ct, float(bias[u])) for u, ct in enumerate(out)]
+        return TensorCT(out, t.width, t.slotstr)
+
+    def add(self, a: TensorCT, b: TensorCT) -> TensorCT:
+        if (a.num_ch, a.width, a.slotstr) != (b.num_ch, b.width, b.slotstr):
+            raise ValueError("TensorCT dimension mismatch in add")
+        cts = [
+            auto.eval_add_auto(self.ctx, x, y) for x, y in zip(a.cts, b.cts)
+        ]
+        return TensorCT(cts, a.width, a.slotstr)

@@ -1,0 +1,224 @@
+"""Encrypted ResNet-20 / CIFAR-10 inference (flagship PPML application).
+
+TPU-native counterpart of the reference's Resnet/ app
+(Resnet/models/model_resnet20.cu:44-153, Resnet/resnet.cu:16-115,
+Resnet/models/weight_loader.cu): conv1+bn+ReluComposite, 3 layers x 3
+blocks with stride-2 downsample at block 0 of layers 2/3, final
+AvgPool+FC.  Weights come from PyTorch-layout .npy files
+([out,in,kh,kw] -> our (kh,kw,in,out)); CIFAR images from a
+(10000,3,32,32) float32 .npy.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .dnn import DNN, TensorCT
+
+
+# --------------------------------------------------------------------------
+# weight / input loaders (reference: Resnet/models/weight_loader.cu)
+# --------------------------------------------------------------------------
+
+def load_weight_4d(path: str) -> np.ndarray:
+    """PyTorch conv weight [out,in,kH,kW] -> (kH,kW,in,out)."""
+    arr = np.load(path).astype(np.float64)
+    if arr.ndim != 4:
+        raise ValueError(f"expected 4D weight tensor: {path}")
+    return arr.transpose(2, 3, 1, 0)
+
+
+def load_weight_2d(path: str) -> np.ndarray:
+    arr = np.load(path).astype(np.float64)
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2D weight: {path}")
+    return arr
+
+
+def load_weight_1d(path: str) -> np.ndarray:
+    arr = np.load(path).astype(np.float64)
+    if arr.ndim != 1:
+        raise ValueError(f"expected 1D weight: {path}")
+    return arr
+
+
+@dataclass
+class BatchNormParams:
+    weight: np.ndarray
+    bias: np.ndarray
+    mean: np.ndarray
+    var: np.ndarray
+
+
+def load_bn(weight_dir: str, prefix: str) -> BatchNormParams:
+    return BatchNormParams(
+        weight=load_weight_1d(f"{weight_dir}/{prefix}_weight.npy"),
+        bias=load_weight_1d(f"{weight_dir}/{prefix}_bias.npy"),
+        mean=load_weight_1d(f"{weight_dir}/{prefix}_running_mean.npy"),
+        var=load_weight_1d(f"{weight_dir}/{prefix}_running_var.npy"),
+    )
+
+
+def load_cifar_image(npy_path: str, index: int = 0) -> np.ndarray:
+    """(10000, 3, 32, 32) float32 -> (32, 32, 3)."""
+    arr = np.load(npy_path, mmap_mode="r")
+    return np.asarray(arr[index], dtype=np.float64).transpose(1, 2, 0)
+
+
+# --------------------------------------------------------------------------
+# synthetic weights (tests / runs without the .npy files)
+# --------------------------------------------------------------------------
+
+def random_weights(rng: np.random.Generator, planes=(16, 32, 64), in_ch=3,
+                   classes=10) -> dict:
+    """Small random weights with ResNet-20 shapes (He-scaled, tamed so
+    activations stay in the sign composite's input range)."""
+    w = {}
+
+    def conv(kh, cin, cout):
+        std = math.sqrt(2.0 / (kh * kh * cin)) * 0.5
+        return rng.normal(0.0, std, (kh, kh, cin, cout))
+
+    def bn(c):
+        return BatchNormParams(
+            weight=rng.uniform(0.7, 1.3, c), bias=rng.uniform(-0.1, 0.1, c),
+            mean=rng.uniform(-0.1, 0.1, c), var=rng.uniform(0.8, 1.2, c),
+        )
+
+    w["conv1"] = conv(3, in_ch, planes[0])
+    w["bn1"] = bn(planes[0])
+    for layer, p in enumerate(planes, start=1):
+        prev = planes[layer - 2] if layer > 1 else planes[0]
+        for blk in range(3):
+            cin = prev if blk == 0 else p
+            pre = f"layer{layer}_{blk}"
+            w[f"{pre}_conv1"] = conv(3, cin, p)
+            w[f"{pre}_bn1"] = bn(p)
+            w[f"{pre}_conv2"] = conv(3, p, p)
+            w[f"{pre}_bn2"] = bn(p)
+            if layer > 1 and blk == 0:
+                w[f"{pre}_downsample_0"] = conv(3, cin, p)
+                w[f"{pre}_downsample_1"] = bn(p)
+    w["fc_weight"] = rng.normal(0.0, 0.1, (classes, planes[2]))
+    w["fc_bias"] = rng.normal(0.0, 0.1, classes)
+    return w
+
+
+def load_weights(weight_dir: str) -> dict:
+    """All ResNet-20 weights from the reference's .npy layout."""
+    w = {"conv1": load_weight_4d(f"{weight_dir}/conv1_weight.npy"),
+         "bn1": load_bn(weight_dir, "bn1")}
+    for layer in (1, 2, 3):
+        for blk in range(3):
+            pre = f"layer{layer}_{blk}"
+            w[f"{pre}_conv1"] = load_weight_4d(f"{weight_dir}/{pre}_conv1_weight.npy")
+            w[f"{pre}_bn1"] = load_bn(weight_dir, f"{pre}_bn1")
+            w[f"{pre}_conv2"] = load_weight_4d(f"{weight_dir}/{pre}_conv2_weight.npy")
+            w[f"{pre}_bn2"] = load_bn(weight_dir, f"{pre}_bn2")
+            if layer > 1 and blk == 0:
+                w[f"{pre}_downsample_0"] = load_weight_4d(
+                    f"{weight_dir}/{pre}_downsample_0_weight.npy")
+                w[f"{pre}_downsample_1"] = load_bn(weight_dir, f"{pre}_downsample_1")
+    w["fc_weight"] = load_weight_2d(f"{weight_dir}/fc_weight.npy")
+    w["fc_bias"] = load_weight_1d(f"{weight_dir}/fc_bias.npy")
+    return w
+
+
+# --------------------------------------------------------------------------
+# model
+# --------------------------------------------------------------------------
+
+def prepare_resnet20(model: DNN, sk, width: int = 32):
+    """PrePareResNet20 (model_resnet20.cu:3-14): rotation keys for the
+    three resolutions + avgpool, relin key."""
+    rots: list[int] = []
+    rots += DNN.conv_rotation_indices(width, 3, 0)
+    rots += DNN.conv_rotation_indices(width // 2, 3, 1)
+    rots += DNN.conv_rotation_indices(width // 4, 3, 2)
+    rots += DNN.avgpool_rotation_indices(width // 4, 2)
+    model.build_galois_key(sk, rots)
+    model.relin_keygen(sk)
+
+
+def resnet20_infer(
+    x: TensorCT, model: DNN, bootstrapper, weights: dict,
+    log=print,
+) -> TensorCT:
+    """ResNet20_infer (model_resnet20.cu:44-153)."""
+    bn = weights["bn1"]
+    x = model.conv(x, weights["conv1"], 1)
+    x = model.batch_norm(x, bn.weight, bn.bias, bn.mean, bn.var)
+    x = model.relu_composite(x, bootstrapper)
+
+    for layer in (1, 2, 3):
+        for blk in range(3):
+            log(f"layer {layer} block {blk + 1}")
+            pre = f"layer{layer}_{blk}"
+            stride = 2 if (layer > 1 and blk == 0) else 1
+            x_skip = x
+            b1 = weights[f"{pre}_bn1"]
+            x_main = model.conv(x, weights[f"{pre}_conv1"], stride)
+            x_main = model.batch_norm(x_main, b1.weight, b1.bias, b1.mean, b1.var)
+            x_main = model.relu_composite(x_main, bootstrapper)
+            b2 = weights[f"{pre}_bn2"]
+            x_main = model.conv(x_main, weights[f"{pre}_conv2"], 1)
+            x_main = model.batch_norm(x_main, b2.weight, b2.bias, b2.mean, b2.var)
+            if stride == 2:
+                bd = weights[f"{pre}_downsample_1"]
+                x_skip = model.conv(x_skip, weights[f"{pre}_downsample_0"], 2)
+                x_skip = model.batch_norm(x_skip, bd.weight, bd.bias, bd.mean, bd.var)
+            x = model.add(x_main, x_skip)
+            x = model.relu_composite(x, bootstrapper)
+
+    log("final avgpool + fc")
+    return model.avg_pool_full_con(x, weights["fc_weight"], weights["fc_bias"])
+
+
+def resnet20_infer_clear(image: np.ndarray, weights: dict) -> np.ndarray:
+    """Cleartext shadow of the encrypted pipeline (same layer math,
+    including the non-averaged pool) for end-to-end validation."""
+    from ..eval import chebyshev as cheb  # noqa: F401  (parity of approx relu)
+
+    def conv(img, w4, stride):
+        wdt = img.shape[0]
+        kh = w4.shape[0]
+        c = kh // 2
+        out = np.zeros((wdt, wdt, w4.shape[3]))
+        for i in range(kh):
+            for j in range(kh):
+                shifted = np.zeros_like(img)
+                si0, sj0 = i - c, j - c
+                src_i = slice(max(0, si0), min(wdt, wdt + si0))
+                dst_i = slice(max(0, -si0), min(wdt, wdt - si0))
+                src_j = slice(max(0, sj0), min(wdt, wdt + sj0))
+                dst_j = slice(max(0, -sj0), min(wdt, wdt - sj0))
+                shifted[dst_i, dst_j] = img[src_i, src_j]
+                out += np.einsum("xyk,kh->xyh", shifted, w4[i, j])
+        return out[::stride, ::stride]
+
+    def bnorm(img, p):
+        a = p.weight / np.sqrt(p.var + 1e-5)
+        return img * a + (p.bias - a * p.mean)
+
+    relu = lambda v: np.maximum(v, 0.0)
+
+    x = relu(bnorm(conv(image, weights["conv1"], 1), weights["bn1"]))
+    for layer in (1, 2, 3):
+        for blk in range(3):
+            pre = f"layer{layer}_{blk}"
+            stride = 2 if (layer > 1 and blk == 0) else 1
+            x_skip = x
+            xm = bnorm(conv(x, weights[f"{pre}_conv1"], stride),
+                       weights[f"{pre}_bn1"])
+            xm = relu(xm)
+            xm = bnorm(conv(xm, weights[f"{pre}_conv2"], 1),
+                       weights[f"{pre}_bn2"])
+            if stride == 2:
+                x_skip = bnorm(conv(x_skip, weights[f"{pre}_downsample_0"], 2),
+                               weights[f"{pre}_downsample_1"])
+            x = relu(xm + x_skip)
+    sums = x.sum(axis=(0, 1))
+    return weights["fc_weight"] @ sums + weights["fc_bias"]

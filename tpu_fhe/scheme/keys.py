@@ -215,6 +215,13 @@ class SecretKey:
         """c = (b + m, a) with fresh (b, a) at the plaintext's level."""
         return self._encrypt_jit(pt, self._fresh_key())
 
+    def encrypt_symmetric_seeded(self, pt: Plaintext):
+        """Returns (ct, seed): the seed regenerates c1 = a on load
+        (reference save_symmetric/load_symmetric seed compression)."""
+        key = self._fresh_key()
+        ct = self._encrypt_jit(pt, key)
+        return ct, np.asarray(jax.random.key_data(key))
+
     def _encrypt_symmetric_impl(self, pt: Plaintext, rng_key) -> Ciphertext:
         ctx = self.context
         level = ctx.level(pt.chain_index)
