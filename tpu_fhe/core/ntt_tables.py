@@ -52,6 +52,11 @@ def make_ntt_tables(log_n: int, modulus_value: int) -> NTTTables:
     psi_inv = numth.invert_mod(psi, q)
 
     def powers_bitrev(base: int) -> tuple[int, ...]:
+        from .. import native
+
+        fast = native.powers_bitrev(base, q, log_n)
+        if fast is not None:
+            return tuple(int(v) for v in fast)
         power = 1
         # natural order first, then scatter to bit-reversed positions
         naturals = [1] * n

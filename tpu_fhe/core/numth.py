@@ -102,6 +102,11 @@ def get_primes(ntt_size: int, bit_size: int, count: int) -> list[int]:
     (reference: src/host/numth.cu:207-233), so the same (N, bit) request
     yields the same primes as the reference library.
     """
+    from .. import native
+
+    fast = native.find_ntt_primes(ntt_size, bit_size, count)
+    if fast is not None:
+        return fast
     factor = 2 * ntt_size
     value = (1 << bit_size) - factor + 1
     lower_bound = 1 << (bit_size - 1)

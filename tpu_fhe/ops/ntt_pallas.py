@@ -128,7 +128,12 @@ class NTTPlan:
 
 
 def _np_shoup(vals: np.ndarray, q: int) -> np.ndarray:
-    """Vectorized floor(w * 2^64 / q) via numpy object ints (exact)."""
+    """Vectorized floor(w * 2^64 / q) (exact; native u128 when available)."""
+    from .. import native
+
+    fast = native.shoup_vec(vals, int(q))
+    if fast is not None:
+        return fast
     obj = (vals.astype(object) << 64) // q
     return obj.astype(np.uint64)
 

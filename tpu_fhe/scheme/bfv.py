@@ -453,6 +453,11 @@ def _find_coprime_prime(bit_size: int, exclude: set[int]) -> int:
 
 def _find_ntt_primes(n: int, bit_size: int, count: int, exclude: set[int]) -> list[int]:
     """NTT-friendly primes (= 1 mod 2n) of `bit_size` bits avoiding `exclude`."""
+    from .. import native
+
+    fast = native.find_ntt_primes(n, bit_size, count, exclude)
+    if fast is not None:
+        return fast
     factor = 2 * n
     value = (1 << bit_size) - factor + 1
     out: list[int] = []

@@ -151,9 +151,26 @@ class CkksEncoder:
 
 
 def _decompose_signed(coeffs, base: RNSBase) -> np.ndarray:
-    """Signed big ints -> (L, N) uint64 residue planes."""
+    """Signed big ints -> (L, N) uint64 residue planes.
+
+    Coefficients below 2^126 take the native 128-bit path
+    (tpu_fhe/native); larger ones (deep chains, huge scales) fall back to
+    exact object-int arithmetic."""
+    from .. import native
+
     n = len(coeffs)
-    arr = np.asarray(coeffs, dtype=object)
+    ints = [int(c) for c in coeffs]
+    if all(-(1 << 126) < v < (1 << 126) for v in ints):
+        lo = np.empty(n, dtype=np.uint64)
+        hi = np.empty(n, dtype=np.int64)
+        mask = 0xFFFFFFFFFFFFFFFF
+        for i, v in enumerate(ints):
+            lo[i] = v & mask
+            hi[i] = v >> 64
+        fast = native.decompose_i128(lo, hi, list(base.values))
+        if fast is not None:
+            return fast
+    arr = np.asarray(ints, dtype=object)
     out = np.empty((len(base), n), dtype=np.uint64)
     for i, q in enumerate(base.values):
         out[i] = (arr % q).astype(np.uint64)
