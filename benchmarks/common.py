@@ -1,0 +1,42 @@
+"""Shared benchmark plumbing (arg parsing, context builders, CSV output)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=desc)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--csv", action="store_true", help="CSV output only")
+    return ap
+
+
+def init_backend(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    return jax
+
+
+def make_ckks(n, data_bits, num_data, size_p, first_bits=60, aux_bits=60):
+    from tpu_fhe.core.modulus import CoeffModulus
+    from tpu_fhe.core.params import EncryptionParameters, SchemeType
+    from tpu_fhe.scheme.ckks_encoder import CkksEncoder
+    from tpu_fhe.scheme.context import FheContext
+    from tpu_fhe.scheme.keys import SecretKey
+
+    bits = [first_bits] + [data_bits] * (num_data - 1) + [aux_bits] * size_p
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+        special_modulus_size=size_p,
+    )
+    ctx = FheContext(params)
+    return ctx, CkksEncoder(ctx), SecretKey(ctx, key=1)

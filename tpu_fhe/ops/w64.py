@@ -122,16 +122,39 @@ def as_w64(x) -> W64:
 
 # -- array manipulation helpers ---------------------------------------------
 
+def _concat_planes(planes, axis: int):
+    """Concatenate u32 planes.
+
+    XLA:CPU lowers `concatenate` of certain producer graphs (e.g. the
+    keyswitch output) catastrophically — measured 16s vs 10ms at N=2048,
+    and an optimization barrier does NOT help — so on CPU the concat is
+    built from dynamic-update-slice copies instead.  TPU keeps the native
+    concatenate (fuses fine)."""
+    if jax.default_backend() != "cpu":
+        return jnp.concatenate(planes, axis=axis)
+    axis = axis % planes[0].ndim
+    out_shape = list(planes[0].shape)
+    out_shape[axis] = sum(p.shape[axis] for p in planes)
+    out = jnp.zeros(out_shape, planes[0].dtype)
+    off = 0
+    for p in planes:
+        out = jax.lax.dynamic_update_slice_in_dim(out, p, off, axis)
+        off += p.shape[axis]
+    return out
+
+
 def stack(ws, axis: int = 0) -> W64:
     ws = [as_w64(w) for w in ws]
-    return W64(jnp.stack([w.lo for w in ws], axis=axis),
-               jnp.stack([w.hi for w in ws], axis=axis))
+    axis = axis % (ws[0].ndim + 1) if axis < 0 else axis
+    los = [jnp.expand_dims(w.lo, axis) for w in ws]
+    his = [jnp.expand_dims(w.hi, axis) for w in ws]
+    return W64(_concat_planes(los, axis), _concat_planes(his, axis))
 
 
 def concat(ws, axis: int = 0) -> W64:
     ws = [as_w64(w) for w in ws]
-    return W64(jnp.concatenate([w.lo for w in ws], axis=axis),
-               jnp.concatenate([w.hi for w in ws], axis=axis))
+    return W64(_concat_planes([w.lo for w in ws], axis),
+               _concat_planes([w.hi for w in ws], axis))
 
 
 def zeros(shape) -> W64:
