@@ -118,3 +118,17 @@ def test_secret_key_roundtrip(ckks):
     np.testing.assert_allclose(
         enc.decode(sk2.decrypt(ct)).real, z, atol=1e-8
     )
+
+
+def test_blake2_hashing():
+    """utils/hashing: deterministic digests, 4x64 hash block, XOF length."""
+    from tpu_fhe.utils import hashing
+
+    block = hashing.hash_uint64([1, 2, 3])
+    assert len(block) == hashing.HASH_BLOCK_UINT64_COUNT
+    assert block == hashing.hash_uint64(np.array([1, 2, 3], dtype=np.uint64))
+    assert block != hashing.hash_uint64([1, 2, 4])
+    out = hashing.blake2xb(b"seed", 1000)
+    assert len(out) == 1000
+    assert out == hashing.blake2xb(b"seed", 1000)
+    assert out[:64] != hashing.blake2xb(b"seed2", 64)
