@@ -95,6 +95,33 @@ def main():
     sq = bv.relinearize(tools, bv.multiply(tools, lin, lin), rlk)
     check("depth-2 square", sq, (expected * expected) % t)
 
+    # HPS multiplication variants (reference examples/1_bfv.cu HPS
+    # correctness sections; mul_tech picked at context build)
+    from tpu_fhe.core.params import MulTech
+
+    for tech in (MulTech.hps, MulTech.hps_overq, MulTech.hps_overq_leveled):
+        hps_params = EncryptionParameters(
+            scheme=SchemeType.bfv,
+            poly_modulus_degree=n,
+            coeff_modulus=params.coeff_modulus,
+            special_modulus_size=1,
+            plain_modulus=params.plain_modulus,
+            mul_tech=tech,
+        )
+        hps_ctx = FheContext(hps_params)
+        hps_enc = BatchEncoder(hps_ctx)
+        hps_sk = SecretKey(hps_ctx, key=1)
+        hps_tools = BfvTools(hps_ctx)
+        hca = hps_tools.encrypt_symmetric(hps_sk, hps_enc.encode(a))
+        hcb = hps_tools.encrypt_symmetric(hps_sk, hps_enc.encode(b))
+        got = hps_enc.decode(
+            hps_tools.decrypt(hps_sk, bv.multiply(hps_tools, hca, hcb))
+        )
+        ok = np.array_equal(got, np.asarray(expected, dtype=np.uint64))
+        print(f"  multiply ({tech.name:18s}) exact={ok}")
+        if not ok:
+            raise SystemExit(f"FAILED: multiply {tech.name}")
+
     print(f"OK ({time.time() - t0:.1f}s)")
 
 

@@ -165,3 +165,74 @@ def test_multiply_chain_with_modswitch(bfv):
     sq = bv.relinearize(tools, bv.multiply(tools, ca, ca), rlk)
     expected = (a.astype(object) * a.astype(object)) % t
     np.testing.assert_array_equal(enc.decode(tools.decrypt(sk, sq)), expected)
+
+
+# -- HPS multiplication variants (reference bfv_multiply_hps,
+#    src/evaluate.cu:745-923) -------------------------------------------------
+
+from tpu_fhe.core.params import MulTech
+
+
+def make_bfv_hps(mul_tech, n=256, bits=(50, 50, 50, 60), t_bits=20):
+    mods = CoeffModulus.create(n, list(bits))
+    t = PlainModulus.batching(n, t_bits)
+    params = EncryptionParameters(
+        scheme=SchemeType.bfv,
+        poly_modulus_degree=n,
+        coeff_modulus=tuple(mods),
+        special_modulus_size=1,
+        plain_modulus=t,
+        mul_tech=mul_tech,
+    )
+    ctx = FheContext(params)
+    return ctx, BatchEncoder(ctx), SecretKey(ctx, key=11), BfvTools(ctx)
+
+
+@pytest.mark.parametrize(
+    "mul_tech",
+    [MulTech.hps, MulTech.hps_overq, MulTech.hps_overq_leveled],
+)
+def test_multiply_hps_variants(mul_tech):
+    ctx, enc, sk, tools = make_bfv_hps(mul_tech)
+    rlk = sk.relin_key()
+    t = tools.t.value
+    a = rand_slots(ctx, tools.t)
+    b = rand_slots(ctx, tools.t)
+    ca = tools.encrypt_symmetric(sk, enc.encode(a))
+    cb = tools.encrypt_symmetric(sk, enc.encode(b))
+    prod = bv.multiply(tools, ca, cb)
+    assert prod.size == 3
+    expected = (a.astype(object) * b.astype(object)) % t
+    np.testing.assert_array_equal(enc.decode(tools.decrypt(sk, prod)), expected)
+    lin = bv.relinearize(tools, prod, rlk)
+    np.testing.assert_array_equal(enc.decode(tools.decrypt(sk, lin)), expected)
+
+
+def test_multiply_hps_square_and_depth2():
+    """Second-level multiply exercises the leveled drop heuristic path."""
+    ctx, enc, sk, tools = make_bfv_hps(
+        MulTech.hps_overq_leveled, bits=(50, 50, 50, 50, 50, 60)
+    )
+    rlk = sk.relin_key()
+    t = tools.t.value
+    a = rand_slots(ctx, tools.t)
+    ca = tools.encrypt_symmetric(sk, enc.encode(a))
+    sq = bv.relinearize(tools, bv.multiply(tools, ca, ca), rlk)
+    assert sq.noise_scale_deg == 2
+    e2 = (a.astype(object) ** 2) % t
+    np.testing.assert_array_equal(enc.decode(tools.decrypt(sk, sq)), e2)
+    q2 = bv.relinearize(tools, bv.multiply(tools, sq, sq), rlk)
+    e4 = (e2 * e2) % t
+    np.testing.assert_array_equal(enc.decode(tools.decrypt(sk, q2)), e4)
+
+
+def test_find_levels_to_drop_monotone():
+    ctx, enc, sk, tools = make_bfv_hps(
+        MulTech.hps_overq_leveled, n=4096,
+        bits=(55, 55, 55, 55, 55, 55, 55, 60), t_bits=20,
+    )
+    d0 = tools.find_levels_to_drop(0, False, False)
+    d1 = tools.find_levels_to_drop(1, False, False)
+    d2 = tools.find_levels_to_drop(2, False, False)
+    assert d0 >= d1 >= d2 >= 0
+    assert d0 <= len(ctx.level(1).base) - 1

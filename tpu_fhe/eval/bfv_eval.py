@@ -132,12 +132,22 @@ def _tensor(a: W64, b: W64, q, rlo, rhi) -> W64:
 
 
 def multiply(tools: BfvTools, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    """BEHZ multiply: (2,k,N) x (2,k,N) -> size-3 ct, coefficient form
-    (reference bfv_multiply_behz, src/evaluate.cu:530-637)."""
+    """BFV multiply dispatch on the context's mul_tech
+    (reference bfv_multiply, src/evaluate.cu:925-943)."""
+    from ..core.params import MulTech
+
     if a.chain_index != b.chain_index:
         raise ValueError("operands at different levels")
     if a.size != 2 or b.size != 2:
-        raise ValueError("BEHZ multiply expects size-2 ciphertexts")
+        raise ValueError("BFV multiply expects size-2 ciphertexts")
+    if tools.context.params.mul_tech == MulTech.behz:
+        return _multiply_behz(tools, a, b)
+    return _multiply_hps(tools, a, b)
+
+
+def _multiply_behz(tools: BfvTools, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """BEHZ multiply: (2,k,N) x (2,k,N) -> size-3 ct, coefficient form
+    (reference bfv_multiply_behz, src/evaluate.cu:530-637)."""
     level = tools.context.level(a.chain_index)
     bz = tools.behz(a.chain_index)
     fn = tools._jit(("behz_mul", a.chain_index), _multiply_impl_factory(tools, bz), level)
@@ -177,6 +187,89 @@ def _multiply_impl_factory(tools: BfvTools, bz: BehzTables):
         )
         floored = _fast_floor(level, bz, tq, tbsk)
         return _fastbconv_sk(level, bz, floored)
+
+    return impl
+
+
+# --------------------------------------------------------------------------
+# HPS multiplication pipeline (hps / hps_overq / hps_overq_leveled;
+# reference bfv_multiply_hps, src/evaluate.cu:745-923)
+# --------------------------------------------------------------------------
+
+def _multiply_hps(tools: BfvTools, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    from ..core.params import MulTech
+
+    mul_tech = tools.context.params.mul_tech
+    levels_dropped = 0
+    if mul_tech == MulTech.hps_overq_leveled:
+        depth = max(a.noise_scale_deg, b.noise_scale_deg) - 1
+        levels_dropped = tools.find_levels_to_drop(
+            depth, False, a.is_asymmetric or b.is_asymmetric
+        )
+    hp = tools.hps(a.chain_index, levels_dropped)
+    level = tools.context.level(a.chain_index)
+    fn = tools._jit(
+        ("hps_mul", a.chain_index, levels_dropped),
+        _hps_mul_impl_factory(tools, hp, mul_tech), level,
+    )
+    out = a.with_data(fn(a.data, b.data))
+    if mul_tech == MulTech.hps_overq_leveled:
+        out = replace(
+            out, noise_scale_deg=max(a.noise_scale_deg, b.noise_scale_deg) + 1
+        )
+    return out
+
+
+def _hps_mul_impl_factory(tools: BfvTools, hp, mul_tech):
+    from ..core.params import MulTech
+    from ..ops.bconv import bconv_matmul
+
+    k = len(hp.base_ql)
+    m = len(hp.base_rl)
+    rl_q = hp.qlrl_q[k:]
+    rl_rlo = hp.qlrl_rlo[k:]
+    rl_rhi = hp.qlrl_rhi[k:]
+
+    def lift_ct1(d: W64) -> W64:
+        """ct1: Ql residues (scale&rounded from Q when leveled) ++ exact
+        conversion to Rl."""
+        if hp.levels_dropped:
+            ql = hp.qq_sr.apply(d[:, k:, :], d[:, :k, :])
+        else:
+            ql = d
+        return w64.concat([ql, hp.ql_to_rl.apply(ql)], axis=1)
+
+    def lift_ct2(d: W64) -> W64:
+        if mul_tech == MulTech.hps:
+            return w64.concat([d, hp.ql_to_rl.apply(d)], axis=1)
+        # overQ: approximate scaled lift to Rl (bConv_BEHZ_var1: scale by
+        # [-Rl*qhat^-1]_q, matmul with q^-1 mod r_j), then exact back to Ql
+        scaled = w64.mul_mod_shoup(d, hp.var1_scale, hp.var1_scale_shoup, hp.var1_q)
+        rl = bconv_matmul(scaled, hp.var1_matrix, rl_q, rl_rlo, rl_rhi)
+        ql = hp.rl_to_ql.apply(rl)
+        return w64.concat([ql, rl], axis=1)
+
+    def impl(level, ad: W64, bd: W64) -> W64:
+        a_ntt = forward_ntt(lift_ct1(ad), hp.qlrl_ntt)
+        b_ntt = forward_ntt(lift_ct2(bd), hp.qlrl_ntt)
+        prod = inverse_ntt(
+            _tensor(a_ntt, b_ntt, hp.qlrl_q, hp.qlrl_rlo, hp.qlrl_rhi),
+            hp.qlrl_ntt,
+        )
+        if mul_tech == MulTech.hps:
+            # round(t/Q * x): QR -> R, then exact Rl -> Ql
+            r_part = hp.sr.apply(prod[:, :k, :], prod[:, k:, :])
+            return hp.rl_to_ql.apply(r_part)
+        # overQ: round(t/Rl * x): QlRl -> Ql
+        out = hp.sr.apply(prod[:, k:, :], prod[:, :k, :])
+        if hp.levels_dropped:
+            # re-expand Ql -> Q: multiply by [QlDrop]_q, zero dropped limbs
+            out = w64.mul_mod_shoup(
+                out, hp.expand_mod_ql, hp.expand_mod_ql_shoup, hp.qlrl_q[:k]
+            )
+            pad = w64.zeros(out.shape[:1] + (hp.levels_dropped, out.shape[-1]))
+            out = w64.concat([out, pad], axis=1)
+        return out
 
     return impl
 

@@ -63,9 +63,12 @@ class PackedConv:
         block = _next_pow2(wpp * wpp)
         n_i = self.slots // block
         if n_i < 1:
+            # parity note: the reference's in_size > numSlots branch also
+            # throws ("Not yet to support n < (d_size_sqrt+p_l+p_r)**2",
+            # /root/reference/src/convolution.cu:385-388)
             raise NotImplementedError(
-                "image larger than the slot count (multi-ct image split "
-                "is not implemented yet)"
+                "image larger than the slot count (unsupported in the "
+                "reference as well; use a larger ring degree)"
             )
         return PackedLayout(in_h=in_h, f_h=f_h, block=block, n_i=n_i, wpp=wpp)
 

@@ -13,6 +13,8 @@ ibase <= 64 --> < 2^128, no overflow.
 
 from __future__ import annotations
 
+import numpy as np
+
 from . import w64
 from .w64 import W64
 
@@ -51,3 +53,92 @@ def bconv_behz(x, qhatinv, qhatinv_shoup, q, qhat_mod_p, p, p_ratio_lo, p_ratio_
     """Full BEHZ fast conversion ibase -> obase."""
     s = bconv_scale(x, qhatinv, qhatinv_shoup, q)
     return bconv_matmul(s, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
+
+
+# --------------------------------------------------------------------------
+# HPS variants (fractional-rounding conversions, src/rns_bconv.cu:249-372 and
+# the scaleAndRound_HPS kernels in src/rns.cu:1700-1810).  The reference
+# computes the rounding correction with f64; TPU f64 is emulated, so the
+# fraction is carried as 128-bit fixed point in two u64 words instead —
+# error <= k * 2^-64 per coefficient (tighter than the reference's doubles).
+# --------------------------------------------------------------------------
+
+def frac_alpha(s: W64, frac_hi, frac_lo) -> W64:
+    """alpha = round(sum_i s[i] * frac_i), as a (..., 1, N) u64.
+
+    frac_i is given as 128-bit fixed point: frac_hi/frac_lo are (k, 1)
+    uint64 words of floor(frac_i * 2^128).  Valid while the true sum is
+    < 2^64 (the reference's double->uint64 cast has the same contract)."""
+    k = s.shape[-2]
+    lead = s.shape[:-2]
+    n = s.shape[-1]
+    fh = w64.as_w64(frac_hi)
+    fl = w64.as_w64(frac_lo)
+    s1_hi = w64.zeros(lead + (1, n))
+    s1_lo = w64.zeros(lead + (1, n))
+    s2_hi = w64.zeros(lead + (1, n))
+    s2_lo = w64.zeros(lead + (1, n))
+    for i in range(k):
+        xi = s[..., i:i + 1, :]
+        hi, lo = w64.mul_u64_full(xi, fh[i:i + 1])
+        s1_hi, s1_lo = w64.add_u128(s1_hi, s1_lo, hi, lo)
+        hi, lo = w64.mul_u64_full(xi, fl[i:i + 1])
+        s2_hi, s2_lo = w64.add_u128(s2_hi, s2_lo, hi, lo)
+    # total = s1/2^64 + s2/2^128; alpha = floor(total + 1/2)
+    t_hi, t_lo = w64.add_u128(s1_hi, s1_lo, w64.zeros_like(s2_hi), s2_hi)
+    half = w64.full_like_scalar(t_lo.shape, 1 << 63)
+    t_hi, _ = w64.add_u128(t_hi, t_lo, w64.zeros_like(t_hi), half)
+    return t_hi
+
+
+def _gather_rows(table: np.ndarray, idx) -> W64:
+    """table (A, m) u64, idx (..., 1, N) int32 -> (..., m, N) W64 rows."""
+    import jax.numpy as jnp
+
+    t = w64.as_w64(np.asarray(table, dtype=np.uint64))
+    sel_lo = jnp.take(t.lo, idx[..., 0, :], axis=0)   # (..., N, m)
+    sel_hi = jnp.take(t.hi, idx[..., 0, :], axis=0)
+    return W64(jnp.moveaxis(sel_lo, -1, -2), jnp.moveaxis(sel_hi, -1, -2))
+
+
+def bconv_hps(x, qhatinv, qhatinv_shoup, q, qinv_hi, qinv_lo,
+              qhat_mod_p, alpha_q_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
+    """Exact (centered) conversion ibase -> obase with fractional alpha
+    (reference bConv_HPS, src/rns_bconv.cu:354-372).
+
+    qinv_hi/lo: (k, 1) fixed-point words of 1/q_i;
+    alpha_q_mod_p: (k+1, m) table of [v * Q]_{p_j} for v = 0..k."""
+    import jax.numpy as jnp
+
+    s = bconv_scale(x, qhatinv, qhatinv_shoup, q)
+    y = bconv_matmul(s, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
+    alpha = frac_alpha(s, qinv_hi, qinv_lo)        # values in [0, k]
+    corr = _gather_rows(alpha_q_mod_p, alpha.lo.astype(jnp.int32))
+    return w64.sub_mod(y, corr, p)
+
+
+def scale_and_round_hps(x_a: W64, x_b: W64, cross, diag, frac_hi, frac_lo,
+                        p, p_ratio_lo, p_ratio_hi) -> W64:
+    """out_j = [sum_i x_a[i]*cross[j,i] + x_b[j]*diag[j] + alpha]_{p_j},
+    alpha = round(sum_i x_a[i]*frac_i)  — the shared shape of
+    scaleAndRound_HPS_{QR_R, QlRl_Ql, Q_Ql} (src/rns.cu:1700-1810).
+
+    x_a: (..., k, N) the scaled source limbs; x_b: (..., m, N) the resident
+    limbs of the output base; cross: (m, k); diag: (m, 1); frac over x_a."""
+    m = x_b.shape[-2]
+    n = x_a.shape[-1]
+    lead = x_a.shape[:-2]
+    k = x_a.shape[-2]
+    cw = w64.as_w64(np.asarray(cross, dtype=np.uint64))
+    acc_hi = w64.zeros(lead + (m, n))
+    acc_lo = w64.zeros(lead + (m, n))
+    for i in range(k):
+        xi = x_a[..., i:i + 1, :]
+        hi, lo = w64.mul_u64_full(xi, cw[:, i:i + 1])
+        acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+    hi, lo = w64.mul_u64_full(x_b, w64.as_w64(np.asarray(diag, dtype=np.uint64)))
+    acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+    out = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+    alpha = frac_alpha(x_a, frac_hi, frac_lo)
+    alpha_mod = w64.barrett_reduce_u64(alpha, p, p_ratio_hi)
+    return w64.add_mod(out, w64.broadcast_to(alpha_mod, out.shape), p)

@@ -115,6 +115,95 @@ class BehzTables:
     b_msk_mod_q: np.ndarray           # (k, 1) prod(B)*m_sk mod q_i
 
 
+@dataclass(frozen=True)
+class HpsConv:
+    """Exact (centered) HPS base conversion ibase -> obase
+    (reference bConv_HPS tables: QHatInvModq, QHatModp, alphaQModp, qiInv
+    — include/host/rns.h BaseConverter + src/rns_bconv.cu:354-372).  The
+    f64 qiInv of the reference is carried as 128-bit fixed point."""
+
+    qhatinv: np.ndarray          # (k, 1) [qhat_i^{-1}]_{q_i} + Shoup
+    qhatinv_shoup: np.ndarray
+    q: np.ndarray                # (k, 1) input moduli
+    qinv_hi: np.ndarray          # (k, 1) fixed-point words of 1/q_i
+    qinv_lo: np.ndarray
+    qhat_mod_p: np.ndarray       # (m, k)
+    alpha_q_mod_p: np.ndarray    # (k+1, m) [v*Q]_{p_j}
+    p: np.ndarray                # (m, 1) output moduli + Barrett ratios
+    p_rlo: np.ndarray
+    p_rhi: np.ndarray
+
+    def apply(self, x):
+        from ..ops.bconv import bconv_hps
+
+        return bconv_hps(
+            x, self.qhatinv, self.qhatinv_shoup, self.q,
+            self.qinv_hi, self.qinv_lo, self.qhat_mod_p,
+            self.alpha_q_mod_p, self.p, self.p_rlo, self.p_rhi,
+        )
+
+
+@dataclass(frozen=True)
+class SRTables:
+    """One scaleAndRound_HPS_* table set: out_j = sum_i a_i*cross[j,i]
+    + b_j*diag[j] + round(sum_i a_i*frac_i) over the output base."""
+
+    cross: np.ndarray            # (m, k)
+    diag: np.ndarray             # (m, 1)
+    frac_hi: np.ndarray          # (k, 1)
+    frac_lo: np.ndarray
+    p: np.ndarray                # (m, 1) + ratios
+    p_rlo: np.ndarray
+    p_rhi: np.ndarray
+
+    def apply(self, x_a, x_b):
+        from ..ops.bconv import scale_and_round_hps
+
+        return scale_and_round_hps(
+            x_a, x_b, self.cross, self.diag, self.frac_hi, self.frac_lo,
+            self.p, self.p_rlo, self.p_rhi,
+        )
+
+
+@dataclass(frozen=True)
+class HpsTables:
+    """Per-(level, levelsDropped) HPS multiplication tables (reference
+    DRNSTool HPS members, src/rns.cu:686-981)."""
+
+    levels_dropped: int
+    base_ql: RNSBase
+    base_rl: RNSBase
+    ql_ntt: object               # DeviceNTTTables for Ql (tensor base prefix)
+    qlrl_ntt: object             # DeviceNTTTables for Ql ++ Rl
+    qlrl_q: np.ndarray           # (k+m, 1) + ratios
+    qlrl_rlo: np.ndarray
+    qlrl_rhi: np.ndarray
+    ql_to_rl: HpsConv
+    rl_to_ql: HpsConv
+    # t/Q (hps: QR->R) or t/Rl (overq: QlRl->Ql) scale&round
+    sr: SRTables
+    # overq ct2 lift (bConv_BEHZ_var1: negPQHatInvModq scale + QInvModp matmul)
+    var1_scale: np.ndarray | None       # (k_src, 1) + Shoup
+    var1_scale_shoup: np.ndarray | None
+    var1_matrix: np.ndarray | None      # (m, k_src) q_i^{-1} mod r_j
+    var1_q: np.ndarray | None           # (k_src, 1) source moduli
+    # leveled: Q -> Ql scale&round + CRT re-expansion
+    qq_sr: SRTables | None
+    expand_mod_ql: np.ndarray | None    # (k, 1) [QlDrop]_{q_i} + Shoup
+    expand_mod_ql_shoup: np.ndarray | None
+
+
+def _fix128(num: int, den: int) -> tuple[int, int]:
+    """(hi, lo) u64 words of floor(num/den * 2^128) for 0 <= num < den."""
+    v = (num << 128) // den
+    return v >> 64, v & ((1 << 64) - 1)
+
+
+def _fix_cols(nums, dens) -> tuple[np.ndarray, np.ndarray]:
+    pairs = [_fix128(int(n), int(d)) for n, d in zip(nums, dens)]
+    return (_col([p[0] for p in pairs]), _col([p[1] for p in pairs]))
+
+
 class BfvTools:
     """Owns BFV-specific lazy per-level tables for one context."""
 
@@ -125,6 +214,7 @@ class BfvTools:
         self.t = context.params.plain_modulus
         self._level_tables: dict[int, BfvLevelTables] = {}
         self._behz: dict[int, BehzTables] = {}
+        self._hps: dict[tuple[int, int], HpsTables] = {}
         self._jit_cache: dict = {}
 
     # -- table builders ---------------------------------------------------
@@ -248,6 +338,200 @@ class BfvTools:
             b_mod_q=_col([big_b % q for q in qs]),
             b_msk_mod_q=_col([(big_b * m_sk.value) % q for q in qs]),
         )
+
+    # -- HPS multiplication tables ------------------------------------------
+    def hps(self, chain_index: int, levels_dropped: int = 0) -> HpsTables:
+        key = (chain_index, levels_dropped)
+        tab = self._hps.get(key)
+        if tab is None:
+            tab = self._build_hps(chain_index, levels_dropped)
+            self._hps[key] = tab
+        return tab
+
+    def _hps_conv(self, ib: RNSBase, ob: RNSBase) -> HpsConv:
+        conv = BaseConverter(ib, ob)
+        ob_mods = ob.base
+        return HpsConv(
+            qhatinv=_col(ib.q_hat_inv_mod_q),
+            qhatinv_shoup=_shoup_col(ib.q_hat_inv_mod_q, ib.values),
+            q=_col(ib.values),
+            qinv_hi=_fix_cols([1] * len(ib), ib.values)[0],
+            qinv_lo=_fix_cols([1] * len(ib), ib.values)[1],
+            qhat_mod_p=np.asarray(conv.q_hat_mod_p, dtype=np.uint64),
+            alpha_q_mod_p=np.asarray(conv.alpha_q_mod_p, dtype=np.uint64),
+            p=_col(ob.values),
+            p_rlo=_col([m.const_ratio[0] for m in ob_mods]),
+            p_rhi=_col([m.const_ratio[1] for m in ob_mods]),
+        )
+
+    @staticmethod
+    def _scale_round_tables(s_base: RNSBase, mult: int,
+                            a_idx: list[int], b_idx: list[int]) -> SRTables:
+        """Tables for out_j = round(mult/prod(a) * x) over base {s_b}:
+        num_i = mult * (S/s_i)^{-1} mod s_i-free big product; see
+        scaleAndRound_HPS kernels (src/rns.cu:1700-1810)."""
+        s = s_base.values
+        nums = [mult * s_base.q_hat_inv_mod_q[i] for i in range(len(s))]
+        cross = [
+            [(nums[i] // s[i]) % s[j] for i in a_idx]
+            for j in b_idx
+        ]
+        diag = [(nums[j] // s[j]) % s[j] for j in b_idx]
+        fh, fl = _fix_cols([nums[i] % s[i] for i in a_idx],
+                           [s[i] for i in a_idx])
+        ob = [s_base.base[j] for j in b_idx]
+        return SRTables(
+            cross=np.asarray(cross, dtype=np.uint64),
+            diag=_col(diag),
+            frac_hi=fh, frac_lo=fl,
+            p=_col([m.value for m in ob]),
+            p_rlo=_col([m.const_ratio[0] for m in ob]),
+            p_rhi=_col([m.const_ratio[1] for m in ob]),
+        )
+
+    def _build_hps(self, chain_index: int, levels_dropped: int) -> HpsTables:
+        """HPS/HPSOverQ(Leveled) tables (reference src/rns.cu:686-981)."""
+        from ..core.params import MulTech
+
+        ctx = self.context
+        mul_tech = ctx.params.mul_tech
+        level = ctx.level(chain_index)
+        base_q = level.base                       # full data base Q
+        size_q = len(base_q)
+        size_ql = size_q - levels_dropped
+        if size_ql < 1:
+            raise ValueError("levels_dropped leaves no data prime")
+        base_ql = RNSBase(tuple(base_q.base[:size_ql]))
+        t = self.t.value
+
+        # Rl: NTT primes strictly below min(Q); size k+1 for plain HPS
+        # (t/Q scale&round needs R > Q), k for the overQ variants.
+        size_rl = size_ql + 1 if mul_tech == MulTech.hps else size_ql
+        min_q = min(base_q.values)
+        rl_vals = numth.get_primes_below(ctx.n, min_q, size_rl)
+        base_rl = RNSBase(tuple(Modulus(p) for p in rl_vals))
+        qlrl_vals = list(base_ql.values) + rl_vals
+        qlrl_mods = list(base_ql.base) + list(base_rl.base)
+
+        log_n = ctx.params.log_n
+        host_ntt = [make_ntt_tables(log_n, p) for p in qlrl_vals]
+        qlrl_ntt = build_device_ntt_tables(host_ntt).to_device()
+        ql_ntt = build_device_ntt_tables(host_ntt[:size_ql]).to_device()
+
+        base_qlrl = RNSBase(tuple(qlrl_mods))
+        if mul_tech == MulTech.hps:
+            # t/Q scale&round: S = Ql ++ Rl, a = Ql limbs, b = Rl limbs
+            sr = self._scale_round_tables(
+                base_qlrl, t * base_rl.big_modulus,
+                list(range(size_ql)), list(range(size_ql, size_ql + size_rl)),
+            )
+        else:
+            # t/Rl scale&round: a = Rl limbs, b = Ql limbs
+            sr = self._scale_round_tables(
+                base_qlrl, t * base_ql.big_modulus,
+                list(range(size_ql, size_ql + size_rl)), list(range(size_ql)),
+            )
+
+        var1_scale = var1_shoup = var1_matrix = var1_q = None
+        if mul_tech in (MulTech.hps_overq, MulTech.hps_overq_leveled):
+            # ct2 lift source base: full Q when levels were dropped
+            src = base_q if levels_dropped else base_ql
+            p_big = base_rl.big_modulus
+            scale = [
+                (q - (p_big * hinv) % q) % q
+                for hinv, q in zip(src.q_hat_inv_mod_q, src.values)
+            ]
+            var1_scale = _col(scale)
+            var1_shoup = _shoup_col(scale, src.values)
+            var1_matrix = np.asarray(
+                [[numth.invert_mod(q % r, r) for q in src.values]
+                 for r in rl_vals], dtype=np.uint64)
+            var1_q = _col(src.values)
+
+        qq_sr = expand = expand_shoup = None
+        if levels_dropped:
+            # Ql/Q scale&round over base Q (a = dropped limbs, b = Ql limbs)
+            qq_sr = self._scale_round_tables(
+                base_q, base_ql.big_modulus,
+                list(range(size_ql, size_q)), list(range(size_ql)),
+            )
+            drop_big = 1
+            for v in base_q.values[size_ql:]:
+                drop_big *= v
+            exp = [drop_big % q for q in base_ql.values]
+            expand = _col(exp)
+            expand_shoup = _shoup_col(exp, base_ql.values)
+
+        return HpsTables(
+            levels_dropped=levels_dropped,
+            base_ql=base_ql,
+            base_rl=base_rl,
+            ql_ntt=ql_ntt,
+            qlrl_ntt=qlrl_ntt,
+            qlrl_q=_col(qlrl_vals),
+            qlrl_rlo=_col([m.const_ratio[0] for m in qlrl_mods]),
+            qlrl_rhi=_col([m.const_ratio[1] for m in qlrl_mods]),
+            ql_to_rl=self._hps_conv(base_ql, base_rl),
+            rl_to_ql=self._hps_conv(base_rl, base_ql),
+            sr=sr,
+            var1_scale=var1_scale,
+            var1_scale_shoup=var1_shoup,
+            var1_matrix=var1_matrix,
+            var1_q=var1_q,
+            qq_sr=qq_sr,
+            expand_mod_ql=expand,
+            expand_mod_ql_shoup=expand_shoup,
+        )
+
+    def find_levels_to_drop(self, mult_depth: int, is_keyswitch: bool,
+                            is_asymmetric: bool) -> int:
+        """Noise-model heuristic for hps_overq_leveled
+        (reference FindLevelsToDrop, src/evaluate.cu:638-743)."""
+        import math
+
+        ctx = self.context
+        n = ctx.n
+        level = ctx.level(1)
+        size_q = len(level.base)
+        size_p = ctx.params.special_modulus_size
+        num_part_q = -(-size_q // size_p)         # keyswitch digit count beta
+        dcrt_bits = max(v.bit_length() for v in level.base.values)
+
+        sigma = 3.2
+        assurance = 36.0
+        p = float(self.t.value)
+        b_key = 1.0
+        b_err = sigma * math.sqrt(assurance)
+        delta = 2.0 * math.sqrt(n)
+
+        def vnorm():
+            if is_asymmetric:
+                return (1.0 + delta * b_key) / 2.0
+            return b_err * (1.0 + 2.0 * delta * b_key)
+
+        def noise_ks():
+            return size_p * (num_part_q * delta * b_err + delta * b_key + 1.0) / 2.0
+
+        c1 = delta * delta * p * b_key
+        c2 = delta * delta * b_key * b_key / 2.0 + noise_ks()
+
+        def logq_bfv():
+            if mult_depth > 0:
+                return (math.log(4 * p) + (mult_depth - 1) * math.log(c1)
+                        + math.log(c1 * vnorm() + mult_depth * c2))
+            return math.log(p * 4.0 * vnorm())
+
+        logq_prev = 6.0 * math.log(10)
+        logq = logq_bfv()
+        while abs(logq - logq_prev) > math.log(1.001):
+            logq_prev = logq
+            logq = logq_bfv()
+
+        loge = logq / math.log(2) - 2 - math.log2(p)
+        log_extra = (math.log2(noise_ks()) if is_keyswitch
+                     else math.log2(delta))
+        levels = math.floor((loge - 2 * mult_depth - 16 - log_extra) / dcrt_bits)
+        return max(0, min(levels, size_q - 1))
 
     # -- plaintext scaling (Delta * m + fix) -------------------------------
     def scale_plain_to_q(self, level: ContextLevel, m: W64) -> W64:
