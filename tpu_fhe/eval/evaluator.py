@@ -199,10 +199,30 @@ def key_inner_product(
     size_Ql = level.size
     size_Q = ctx.params.size_Q
     evk = key.data  # (dnum, 2, size_QP, N)
+    beta = ks.beta
+    n = t_mod_up.shape[-1]
+
+    from ..ops.ntt_pallas import pallas_enabled
+
+    if pallas_enabled() and n % 128 == 0 and (n // 128) % 8 == 0:
+        # fused kernel: the Ql ++ P evk limb slice happens in the block
+        # index map, the digit loop in VMEM (ops/ks_pallas.py)
+        from ..ops.ks_pallas import key_inner_prod_pallas
+        import numpy as _np
+
+        q, rlo, rhi = _qlp_mod(level)
+        limb_map = _np.concatenate([
+            _np.arange(size_Ql, dtype=_np.int32),
+            _np.arange(size_Q, evk.shape[2], dtype=_np.int32),
+        ])
+        return key_inner_prod_pallas(
+            t_mod_up[:beta], evk, limb_map,
+            q.reshape(-1), rlo.reshape(-1), rhi.reshape(-1),
+        )
+
     evk_l = w64.concat(
         [evk[:, :, :size_Ql, :], evk[:, :, size_Q:, :]], axis=2
     )  # (dnum, 2, size_QlP, N)
-    beta = ks.beta
     shape = (2,) + t_mod_up.shape[1:]
     acc_hi = w64.zeros(shape)
     acc_lo = w64.zeros(shape)

@@ -39,6 +39,15 @@ def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
     n = scaled.shape[-1]
     lead = scaled.shape[:-2]
     m = qhat_mod_p.shape[0]
+
+    from .ntt_pallas import pallas_enabled
+
+    if (isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray)
+            and pallas_enabled() and n % 128 == 0 and (n // 128) % 8 == 0):
+        from .bconv_pallas import bconv_matmul_pallas
+
+        return bconv_matmul_pallas(scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
+
     w = w64.as_w64(qhat_mod_p)
     acc_hi = w64.zeros(lead + (m, n))
     acc_lo = w64.zeros(lead + (m, n))

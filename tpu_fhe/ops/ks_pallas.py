@@ -1,0 +1,141 @@
+"""Fused keyswitch inner product as a Pallas TPU kernel.
+
+TPU-native counterpart of the reference's key_switch_inner_prod_c2_and_evk
+(/root/reference/src/eval_key_switch.cu:26-85): for each limb of the
+extended basis QlP, accumulate the beta digit x evk products in an explicit
+128-bit (four uint32 plane) accumulator and land one Barrett reduction.
+
+Why a kernel: the XLA version (eval/evaluator.py::key_inner_product)
+measures ~2.4x above its VPU compute bound at the bench shape — the
+128-bit accumulator chain materializes between fusions.  Here the whole
+digit loop runs in VMEM per (limb, block) and the evaluation-key limb
+slice [0:size_Ql] ++ [size_Q:size_QP] is performed by the block index map
+(scalar-prefetch limb map), so the (dnum, 2, QlP, N) evk copy the XLA path
+concatenates never exists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u32pair as u32
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _add128(a, p):
+    """(w0..w3) += (p0..p3) with carries; all uint32 tensors."""
+    a0, a1, a2, a3 = a
+    p0, p1, p2, p3 = p
+    s0 = a0 + p0
+    c0 = (s0 < a0).astype(jnp.uint32)
+    s1 = a1 + p1
+    c1 = (s1 < a1).astype(jnp.uint32)
+    s1b = s1 + c0
+    c1b = (s1b < s1).astype(jnp.uint32)
+    s2 = a2 + p2
+    c2 = (s2 < a2).astype(jnp.uint32)
+    s2b = s2 + c1 + c1b
+    c2b = (s2b < s2).astype(jnp.uint32)
+    s3 = a3 + p3 + c2 + c2b
+    return s0, s1b, s2b, s3
+
+
+def _kernel(lm_ref, qlo_ref, qhi_ref, r0lo_ref, r0hi_ref, r1lo_ref, r1hi_ref,
+            tlo_ref, thi_ref, klo_ref, khi_ref, olo_ref, ohi_ref,
+            *, beta: int):
+    l = pl.program_id(0)
+    qlo = qlo_ref[l]
+    qhi = qhi_ref[l]
+    r0lo = r0lo_ref[l]
+    r0hi = r0hi_ref[l]
+    r1lo = r1lo_ref[l]
+    r1hi = r1hi_ref[l]
+
+    for c in range(2):
+        acc = None
+        for d in range(beta):
+            tl = tlo_ref[d, 0]          # (R, 128)
+            th = thi_ref[d, 0]
+            kl = klo_ref[d, c, 0]
+            kh = khi_ref[d, c, 0]
+            prod = u32.mul64_full(tl, th, kl, kh)
+            acc = prod if acc is None else _add128(acc, prod)
+        w0, w1, w2, w3 = acc
+        rlo, rhi = u32.barrett_reduce128(
+            w0, w1, w2, w3, qlo, qhi, r0lo, r0hi, r1lo, r1hi
+        )
+        olo_ref[c, 0] = rlo
+        ohi_ref[c, 0] = rhi
+
+
+def key_inner_prod_pallas(t, evk, limb_map, q_words, ratio_lo, ratio_hi):
+    """t: W64 (beta, L, N); evk: W64 (dnum, 2, size_QP, N);
+    limb_map: (L,) int32 indices into the evk limb axis (Ql ++ P slice);
+    q_words/ratio_*: (L,) uint64 per-limb Barrett constants.
+    Returns W64 (2, L, N)."""
+    from .w64 import W64
+
+    beta, L, n = t.shape
+    rows = n // LANES
+
+    def planes(x):
+        return x.reshape(x.shape[:-1] + (rows, LANES))
+
+    tlo, thi = planes(t.lo), planes(t.hi)
+    klo, khi = planes(evk.lo), planes(evk.hi)
+
+    def words(v):
+        v = np.asarray(v, dtype=np.uint64).reshape(-1)
+        return (
+            jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    qlo, qhi = words(q_words)
+    r0lo, r0hi = words(ratio_lo)
+    r1lo, r1hi = words(ratio_hi)
+    lm = jnp.asarray(limb_map, dtype=jnp.int32)
+    scalars = [lm, qlo, qhi, r0lo, r0hi, r1lo, r1hi]
+
+    zero = np.int32(0)
+
+    def t_map(l, lm_ref, *_):
+        return (zero, l, zero, zero)
+
+    def k_map(l, lm_ref, *_):
+        return (zero, zero, lm_ref[l], zero, zero)
+
+    def o_map(l, lm_ref, *_):
+        return (zero, l, zero, zero)
+
+    t_spec = pl.BlockSpec((beta, 1, rows, LANES), t_map, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (beta, 2, 1, rows, LANES), k_map, memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec((2, 1, rows, LANES), o_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(L,),
+        in_specs=[t_spec, t_spec, k_spec, k_spec],
+        out_specs=[o_spec, o_spec],
+    )
+    out_shape = [jax.ShapeDtypeStruct((2, L, rows, LANES), jnp.uint32)] * 2
+    olo, ohi = pl.pallas_call(
+        partial(_kernel, beta=beta),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*scalars, tlo, thi, klo, khi)
+    return W64(olo.reshape(2, L, n), ohi.reshape(2, L, n))

@@ -245,21 +245,48 @@ def _roll_down(x, s):
     return pltpu.roll(x, np.int32(s), 0)
 
 
+SLICE_MIN_GAP = 8   # sublane-tile-aligned gap: use slice butterflies
+
+
 def _dit_stages(xl, xh, w_ref, n_stages, rows, cols, qlo, qhi, q2lo, q2hi,
                 first_stage_rowgap):
-    """Forward (Cooley-Tukey DIT) roll-based stages along the sublane axis.
+    """Forward (Cooley-Tukey DIT) stages along the sublane axis.
 
     Stage k pairs rows (r, r + s) with s = first_stage_rowgap >> k; the
     per-row twiddle vector lives in column k of w_ref's four planes.
     Values stay in Harvey-lazy [0, 4q).
+
+    For tile-aligned gaps (s >= 8) the pairs form contiguous (a-block,
+    b-block) row ranges sharing ONE twiddle, so the stage runs on static
+    slices: the Shoup multiply touches only the b half (2x fewer multiplies
+    than the roll formulation) and no rolls/selects are needed.
     """
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     for k in range(n_stages):
         s = first_stage_rowgap >> k
         wl = w_ref[0][0, :, k:k + 1]
         wh = w_ref[1][0, :, k:k + 1]
         wsl = w_ref[2][0, :, k:k + 1]
         wsh = w_ref[3][0, :, k:k + 1]
+        if s >= SLICE_MIN_GAP:
+            pieces_l, pieces_h = [], []
+            for base in range(0, rows, 2 * s):
+                al, ah = u32.csub64(xl[base:base + s], xh[base:base + s],
+                                    q2lo, q2hi)              # [0, 2q)
+                bl = xl[base + s:base + 2 * s]
+                bh = xh[base + s:base + 2 * s]
+                vl, vh = u32.mul_mod_shoup64(
+                    bl, bh, wl[base:base + s], wh[base:base + s],
+                    wsl[base:base + s], wsh[base:base + s], qlo, qhi,
+                    lazy=True)                               # [0, 2q)
+                sl, sh = u32.add64(al, ah, vl, vh)           # [0, 4q)
+                tl, th = u32.add64(al, ah, q2lo, q2hi)
+                dl, dh = u32.sub64(tl, th, vl, vh)           # [0, 4q)
+                pieces_l += [sl, dl]
+                pieces_h += [sh, dh]
+            xl = jnp.concatenate(pieces_l, axis=0)
+            xh = jnp.concatenate(pieces_h, axis=0)
+            continue
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
         is_a = (row_id & s) == 0
         al, ah = u32.csub64(xl, xh, q2lo, q2hi)             # [0, 2q)
         bl = _roll_up(xl, s)
@@ -285,7 +312,6 @@ def _gs_stages(xl, xh, w_ref, n_stages, rows, cols, qlo, qhi, q2lo, q2hi,
     s = 1 << k ... the caller passes first_stage_rowgap = 1 and the stage
     order is s = 1, 2, ..., 2^(n_stages-1).  Values stay in [0, 2q).
     """
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     for k in range(n_stages):
         s = first_stage_rowgap << k
         col = n_stages - 1 - k
@@ -293,6 +319,30 @@ def _gs_stages(xl, xh, w_ref, n_stages, rows, cols, qlo, qhi, q2lo, q2hi,
         wh = w_ref[1][0, :, col:col + 1]
         wsl = w_ref[2][0, :, col:col + 1]
         wsh = w_ref[3][0, :, col:col + 1]
+        if s >= SLICE_MIN_GAP:
+            # contiguous (a-block, b-block) pairs share one twiddle: the
+            # Shoup multiply runs on the difference half only (see
+            # _dit_stages) and no rolls/selects are needed
+            pieces_l, pieces_h = [], []
+            for base in range(0, rows, 2 * s):
+                al = xl[base:base + s]
+                ah = xh[base:base + s]
+                bl = xl[base + s:base + 2 * s]
+                bh = xh[base + s:base + 2 * s]
+                ul, uh = u32.add64(al, ah, bl, bh)          # [0, 4q)
+                ul, uh = u32.csub64(ul, uh, q2lo, q2hi)     # [0, 2q)
+                tl, th = u32.add64(al, ah, q2lo, q2hi)
+                tl, th = u32.sub64(tl, th, bl, bh)          # [0, 4q)
+                vl, vh = u32.mul_mod_shoup64(
+                    tl, th, wl[base:base + s], wh[base:base + s],
+                    wsl[base:base + s], wsh[base:base + s], qlo, qhi,
+                    lazy=True)                              # [0, 2q)
+                pieces_l += [ul, vl]
+                pieces_h += [uh, vh]
+            xl = jnp.concatenate(pieces_l, axis=0)
+            xh = jnp.concatenate(pieces_h, axis=0)
+            continue
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
         is_a = (row_id & s) == 0
         bl = _roll_up(xl, s)
         bh = _roll_up(xh, s)
