@@ -127,7 +127,28 @@ def bench_ntt(n, limbs, iters=50):
     return limbs / dt
 
 
+def _ensure_backend():
+    """The ambient env may pin JAX_PLATFORMS to an experimental plugin
+    (axon tunnel); if that backend fails to register, fall back to
+    automatic choice instead of failing the whole bench."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        log(f"backend {os.environ.get('JAX_PLATFORMS')!r} failed ({e}); "
+            "falling back to automatic platform selection")
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+    log(f"backend: {jax.default_backend()} {jax.devices()}")
+
+
 def main():
+    _ensure_backend()
     try:
         ntt_rate = bench_ntt(1 << 16, 8)
     except Exception as e:  # noqa: BLE001

@@ -27,7 +27,7 @@ from ..ops import w64 as mm
 from ..ops.w64 import W64
 from ..ops.bconv import bconv_matmul
 from ..ops.galois import apply_galois_ntt, conj_elt, galois_elt_from_step
-from ..ops.ntt import forward_ntt, inverse_ntt
+from ..ops.ntt import forward_ntt, inverse_ntt, inverse_ntt_scaled
 from ..scheme.ciphertext import Ciphertext, Plaintext
 from ..scheme.context import ContextLevel, FheContext
 from ..scheme.keys import GaloisKey, RelinKey
@@ -163,10 +163,14 @@ def modup(
     unchanged.  With is_ntt=False (BFV: coefficient-form input) the iNTT is
     skipped and the digit's own limbs are forward-transformed instead."""
     ks = level.ks
-    c2_coeff = inverse_ntt(c2, level.ntt) if is_ntt else c2
-    scaled = mm.mul_mod_shoup(
-        c2_coeff, ks.part_qhatinv, ks.part_qhatinv_shoup, level.mod.q
-    )
+    if is_ntt:
+        scaled = inverse_ntt_scaled(
+            c2, level.ntt, ks.part_qhatinv, ks.part_qhatinv_shoup
+        )
+    else:
+        scaled = mm.mul_mod_shoup(
+            c2, ks.part_qhatinv, ks.part_qhatinv_shoup, level.mod.q
+        )
     digits = []
     for dt in ks.digits:
         piece = scaled[dt.start:dt.end]
@@ -253,13 +257,13 @@ def moddown_from_ntt(
     subtraction happens in the coefficient domain instead."""
     ks = level.ks
     size_Ql = level.size
-    p_part = inverse_ntt(cx[..., size_Ql:, :], ks.p_ntt)
     if ctx.scheme == SchemeType.bgv:
         # t-preserving subtraction (reference bgv_moddown_kernel): delta =
         # t*U with U = [x * t^{-1}]_P, so delta = x (mod P) and 0 (mod t);
         # the alpha*t*P conversion overshoot divides to alpha*t = 0 mod t.
-        scaled = mm.mul_mod_shoup(
-            p_part, ks.tinv_p_hatinv, ks.tinv_p_hatinv_shoup, ks.p_mod.q
+        scaled = inverse_ntt_scaled(
+            cx[..., size_Ql:, :], ks.p_ntt,
+            ks.tinv_p_hatinv, ks.tinv_p_hatinv_shoup,
         )
         conv = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
@@ -267,8 +271,8 @@ def moddown_from_ntt(
         )
         delta = mm.mul_mod_shoup(conv, ks.t_mod_q, ks.t_mod_q_shoup, level.mod.q)
     else:
-        scaled = mm.mul_mod_shoup(
-            p_part, ks.p_hatinv, ks.p_hatinv_shoup, ks.p_mod.q
+        scaled = inverse_ntt_scaled(
+            cx[..., size_Ql:, :], ks.p_ntt, ks.p_hatinv, ks.p_hatinv_shoup
         )
         delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,

@@ -261,6 +261,46 @@ def forward_ntt(x, t: DeviceNTTTables):
     return x
 
 
+def inverse_ntt_scaled(x, t: DeviceNTTTables, scale, scale_shoup):
+    """iNTT followed by a per-limb Shoup scale (scale: (L,1) host uint64).
+
+    On the Pallas path the scale folds into the kernel's fused final
+    multiply (the n^{-1} landing), saving one full elementwise pass —
+    the TPU counterpart of the reference's nwt_2d_radix8_backward_scale
+    fusion (src/ntt/ntt_modup.cu:222+).
+    """
+    from .w64 import W64
+
+    if isinstance(x, W64) and _pallas_ok(t):
+        from .ntt_pallas import _np_shoup, _split_u32, inverse_ntt_pallas
+
+        q = np.asarray(t.q, dtype=np.uint64).reshape(-1)
+        invn = np.asarray(t.inv_degree, dtype=np.uint64).reshape(-1)
+        s = np.asarray(scale, dtype=np.uint64).reshape(-1)
+        fused = (
+            (s.astype(object) * invn.astype(object)) % q.astype(object)
+        ).astype(np.uint64)
+        fused_shoup = np.array(
+            [_np_shoup(fused[i : i + 1], int(q[i]))[0] for i in range(len(q))],
+            dtype=np.uint64,
+        )
+        slo, shi = _split_u32(fused)
+        sslo, sshi = _split_u32(fused_shoup)
+        quad = (
+            jnp.asarray(slo), jnp.asarray(shi),
+            jnp.asarray(sslo), jnp.asarray(sshi),
+        )
+        return inverse_ntt_pallas(x, t, scale4=quad)
+    from . import w64 as _w64mod
+
+    y = inverse_ntt(x, t)
+    if isinstance(y, W64):
+        return _w64mod.mul_mod_shoup(y, scale, scale_shoup, np.asarray(t.q))
+    return mm.mul_mod_shoup(
+        y, np.asarray(scale), np.asarray(scale_shoup), np.asarray(t.q)
+    )
+
+
 def inverse_ntt(x, t: DeviceNTTTables):
     """Inverse negacyclic NTT over the last axis (includes the 1/n scale)."""
     from .w64 import W64
