@@ -7,6 +7,14 @@ conjugate, decrypt/decode — printing max error at each step.
 Run:  python examples/ckks_basics.py [--n 4096]
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo importable when run as `python examples/<name>.py`
+# without touching PYTHONPATH (the env's own PYTHONPATH must survive:
+# it loads the TPU-plugin sitecustomize)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -6,6 +6,14 @@ TPU-native analog of the reference's examples/serialization.cu.
 Run:  python examples/serialization.py [--cpu]
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo importable when run as `python examples/<name>.py`
+# without touching PYTHONPATH (the env's own PYTHONPATH must survive:
+# it loads the TPU-plugin sitecustomize)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import io
 import time
