@@ -69,15 +69,20 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
     def bench(name, fn, x):
         # fn must be shape-preserving for the chain; measure marginal time
         step = jax.jit(lambda v, r: chain(fn, v, r))
+
+        def fetch(o):
+            # D2H fetch: block_until_ready does not reliably block over
+            # the axon tunnel; a tiny fetch is the completion barrier
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            np.asarray(leaf.reshape(-1)[:4])
+
         t0 = time.time()
-        out = step(x, 1)
-        jax.block_until_ready(out)
+        fetch(step(x, 1))
         log(f"{name}: compile {time.time()-t0:.1f}s")
 
         def timed(reps):
             t0 = time.time()
-            o = step(x, reps)
-            jax.block_until_ready(o)
+            fetch(step(x, reps))
             return time.time() - t0
 
         timed(2)

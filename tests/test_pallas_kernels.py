@@ -66,6 +66,46 @@ def test_pallas_key_inner_product_matches_xla(force_pallas, monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pallas_fwd_sub_scale_matches_xla(force_pallas, monkeypatch):
+    from tpu_fhe.core.ntt_tables import compute_shoup
+    from tpu_fhe.ops.ntt import forward_ntt_sub_scale
+
+    n = 2048
+    primes = numth.get_primes(n, 50, 3)
+    host = [make_ntt_tables(n.bit_length() - 1, q) for q in primes]
+    dev = build_device_ntt_tables(host).to_device()
+    qs = np.asarray(primes, dtype=np.uint64)
+    x = w64.W64.from_np(
+        RNG.integers(0, 1 << 49, size=(2, 3, n), dtype=np.uint64)
+        % qs[:, None]
+    )
+    sub = w64.W64.from_np(
+        RNG.integers(0, 1 << 49, size=(2, 3, n), dtype=np.uint64)
+        % qs[:, None]
+    )
+    scale = np.array([[numth.invert_mod(12345, int(q))] for q in primes],
+                     dtype=np.uint64)
+    scale_sh = np.array(
+        [[compute_shoup(int(s[0]), int(q))] for s, q in zip(scale, primes)],
+        dtype=np.uint64,
+    )
+    pre = np.array([[65537 % int(q)] for q in primes], dtype=np.uint64)
+    pre_sh = np.array(
+        [[compute_shoup(int(p[0]), int(q))] for p, q in zip(pre, primes)],
+        dtype=np.uint64,
+    )
+    for pr, prs in ((None, None), (pre, pre_sh)):
+        got = forward_ntt_sub_scale(
+            x, sub, dev, scale, scale_sh, pre=pr, pre_shoup=prs
+        ).to_np()
+        monkeypatch.setenv("TPU_FHE_PALLAS", "never")
+        ref = forward_ntt_sub_scale(
+            x, sub, dev, scale, scale_sh, pre=pr, pre_shoup=prs
+        ).to_np()
+        monkeypatch.setenv("TPU_FHE_PALLAS", "always")
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_bconv_matmul_matches_xla(force_pallas, monkeypatch):
     from tpu_fhe.core.rns import RNSBase, BaseConverter
     from tpu_fhe.core.modulus import Modulus

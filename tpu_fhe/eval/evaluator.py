@@ -27,7 +27,12 @@ from ..ops import w64 as mm
 from ..ops.w64 import W64
 from ..ops.bconv import bconv_matmul
 from ..ops.galois import apply_galois_ntt, conj_elt, galois_elt_from_step
-from ..ops.ntt import forward_ntt, inverse_ntt, inverse_ntt_scaled
+from ..ops.ntt import (
+    forward_ntt,
+    forward_ntt_sub_scale,
+    inverse_ntt,
+    inverse_ntt_scaled,
+)
 from ..scheme.ciphertext import Ciphertext, Plaintext
 from ..scheme.context import ContextLevel, FheContext
 from ..scheme.keys import GaloisKey, RelinKey
@@ -265,11 +270,11 @@ def moddown_from_ntt(
             cx[..., size_Ql:, :], ks.p_ntt,
             ks.tinv_p_hatinv, ks.tinv_p_hatinv_shoup,
         )
-        conv = bconv_matmul(
+        delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi,
         )
-        delta = mm.mul_mod_shoup(conv, ks.t_mod_q, ks.t_mod_q_shoup, level.mod.q)
+        pre, pre_shoup = ks.t_mod_q, ks.t_mod_q_shoup
     else:
         scaled = inverse_ntt_scaled(
             cx[..., size_Ql:, :], ks.p_ntt, ks.p_hatinv, ks.p_hatinv_shoup
@@ -278,12 +283,18 @@ def moddown_from_ntt(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi,
         )
+        pre = pre_shoup = None
     if output_ntt:
-        delta_ntt = forward_ntt(delta, level.ntt)
-        diff = mm.sub_mod(cx[..., :size_Ql, :], delta_ntt, level.mod.q)
-    else:
-        ql_coeff = inverse_ntt(cx[..., :size_Ql, :], level.ntt)
-        diff = mm.sub_mod(ql_coeff, delta, level.mod.q)
+        # (cx - pre*NTT(delta)) * P^{-1} fused into the forward transform
+        return forward_ntt_sub_scale(
+            delta, cx[..., :size_Ql, :], level.ntt,
+            ks.big_pinv_mod_q, ks.big_pinv_mod_q_shoup,
+            pre=pre, pre_shoup=pre_shoup,
+        )
+    if pre is not None:
+        delta = mm.mul_mod_shoup(delta, pre, pre_shoup, level.mod.q)
+    ql_coeff = inverse_ntt(cx[..., :size_Ql, :], level.ntt)
+    diff = mm.sub_mod(ql_coeff, delta, level.mod.q)
     return mm.mul_mod_shoup(
         diff, ks.big_pinv_mod_q, ks.big_pinv_mod_q_shoup, level.mod.q
     )
@@ -345,10 +356,10 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     half_mod = mm.barrett_reduce_u64(half, rest_mod.q, rest_mod.ratio_hi)
     tmp = mm.sub_mod(reduced, half_mod, rest_mod.q)
     next_level = ctx.level(a.chain_index + 1)
-    tmp_ntt = forward_ntt(tmp, next_level.ntt)
-    diff = mm.sub_mod(a.data[:, :-1, :], tmp_ntt, rest_mod.q)
-    out = mm.mul_mod_shoup(
-        diff, level.inv_q_last_mod_q, level.inv_q_last_mod_q_shoup, rest_mod.q
+    # (ct - NTT(tmp)) * q_last^{-1} fused into the forward transform
+    out = forward_ntt_sub_scale(
+        tmp, a.data[:, :-1, :], next_level.ntt,
+        level.inv_q_last_mod_q, level.inv_q_last_mod_q_shoup,
     )
     q_last_val = ctx.q_values[size_Ql - 1]
     # noise_scale_deg is managed by the FLEXIBLEAUTO layer (ModReduce);

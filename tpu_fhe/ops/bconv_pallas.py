@@ -32,18 +32,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+N_ACC = 2  # independent 128-bit accumulators (break the carry-chain
+           # dependency between consecutive terms; combined once per output)
+
+
 def _kernel(mlo_ref, mhi_ref, qlo_ref, qhi_ref,
             r0lo_ref, r0hi_ref, r1lo_ref, r1hi_ref,
             xlo_ref, xhi_ref, olo_ref, ohi_ref,
             *, k_in: int, k_out: int):
     xs = [(xlo_ref[0, i], xhi_ref[0, i]) for i in range(k_in)]
     for j in range(k_out):
-        acc = None
+        accs = [None] * N_ACC
         for i in range(k_in):
             sl, sh = xs[i]
             prod = u32.mul64_full(sl, sh, mlo_ref[j * k_in + i],
                                   mhi_ref[j * k_in + i])
-            acc = prod if acc is None else _add128(acc, prod)
+            a = i % N_ACC
+            accs[a] = prod if accs[a] is None else _add128(accs[a], prod)
+        acc = accs[0]
+        for a in accs[1:]:
+            if a is not None:
+                acc = _add128(acc, a)
         w0, w1, w2, w3 = acc
         rlo, rhi = u32.barrett_reduce128(
             w0, w1, w2, w3, qlo_ref[j], qhi_ref[j],

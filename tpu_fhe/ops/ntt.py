@@ -301,6 +301,33 @@ def inverse_ntt_scaled(x, t: DeviceNTTTables, scale, scale_shoup):
     )
 
 
+def forward_ntt_sub_scale(x, sub, t: DeviceNTTTables, scale, scale_shoup,
+                          pre=None, pre_shoup=None):
+    """(sub - pre*NTT(x)) * scale mod q, per limb (host (L,1) uint64 scales).
+
+    Pallas path: one fused kernel (the moddown/rescale landing rides the
+    forward transform, like the reference's forward_inplace_fuse_moddown).
+    Fallback: plain composition."""
+    from . import w64 as _w64mod
+    from .w64 import W64
+
+    if isinstance(x, W64) and _pallas_ok(t):
+        from .ntt_pallas import forward_ntt_sub_scale_pallas, host_scale_quad
+
+        q = np.asarray(t.q)
+        post_quad = host_scale_quad(scale, q)
+        pre_quad = None if pre is None else host_scale_quad(pre, q)
+        return forward_ntt_sub_scale_pallas(x, sub, t, post_quad, pre_quad)
+
+    y = forward_ntt(x, t)
+    q = np.asarray(t.q)
+    mod = _w64mod if isinstance(y, W64) else mm
+    if pre is not None:
+        y = mod.mul_mod_shoup(y, pre, pre_shoup, q)
+    d = mod.sub_mod(sub, y, q)
+    return mod.mul_mod_shoup(d, scale, scale_shoup, q)
+
+
 def inverse_ntt(x, t: DeviceNTTTables):
     """Inverse negacyclic NTT over the last axis (includes the 1/n scale)."""
     from .w64 import W64

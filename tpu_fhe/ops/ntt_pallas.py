@@ -398,6 +398,54 @@ def _fwd_kernel(lm_ref, qlo_ref, qhi_ref,
     ohi_ref[0, 0] = xh.T
 
 
+def _fwd_sub_scale_kernel(lm_ref, qlo_ref, qhi_ref,
+                          plo_ref, phi_ref, pslo_ref, pshi_ref,
+                          elo_ref, ehi_ref, eslo_ref, eshi_ref,
+                          xlo_ref, xhi_ref, sublo_ref, subhi_ref,
+                          s1lo, s1hi, s1slo, s1shi,
+                          s2lo, s2hi, s2slo, s2shi,
+                          twlo, twhi, twslo, twshi,
+                          olo_ref, ohi_ref,
+                          *, log_n1: int, n1: int, has_pre: bool):
+    """Forward NTT fused with the moddown/rescale landing:
+    out = (sub - pre * NTT(x)) * post  (all mod q, per limb).
+
+    pre (e*) is the BGV t factor (skipped when has_pre=False); post (p*)
+    is P^{-1} (moddown) or q_last^{-1} (rescale).  Mirrors the reference's
+    nwt_2d_radix8_forward_inplace_fuse_moddown (src/ntt/ntt_moddown.cu)
+    which folds the same subtraction into the forward transform."""
+    l = pl.program_id(0)
+    qlo = qlo_ref[l]
+    qhi = qhi_ref[l]
+    q2lo = qlo + qlo
+    q2hi = qhi + qhi + (q2lo < qlo).astype(jnp.uint32)
+
+    xl = xlo_ref[0, 0]
+    xh = xhi_ref[0, 0]
+    xl, xh = _dit_stages(xl, xh, (s1lo, s1hi, s1slo, s1shi), log_n1,
+                         n1, N2, qlo, qhi, q2lo, q2hi, n1 >> 1)
+    xl = xl.T
+    xh = xh.T
+    xl, xh = u32.mul_mod_shoup64(
+        xl, xh, twlo[0], twhi[0], twslo[0], twshi[0], qlo, qhi, lazy=True)
+    xl, xh = _dit_stages(xl, xh, (s2lo, s2hi, s2slo, s2shi), LOG_N2,
+                         N2, n1, qlo, qhi, q2lo, q2hi, N2 >> 1)
+    xl, xh = u32.csub64(xl, xh, q2lo, q2hi)
+    xl, xh = u32.csub64(xl, xh, qlo, qhi)
+    xl = xl.T
+    xh = xh.T
+
+    if has_pre:
+        xl, xh = u32.mul_mod_shoup64(
+            xl, xh, elo_ref[l], ehi_ref[l], eslo_ref[l], eshi_ref[l],
+            qlo, qhi)
+    dl, dh = u32.sub_mod64(sublo_ref[0, 0], subhi_ref[0, 0], xl, xh, qlo, qhi)
+    dl, dh = u32.mul_mod_shoup64(
+        dl, dh, plo_ref[l], phi_ref[l], pslo_ref[l], pshi_ref[l], qlo, qhi)
+    olo_ref[0, 0] = dl
+    ohi_ref[0, 0] = dh
+
+
 def _inv_kernel(lm_ref, qlo_ref, qhi_ref, slo_ref, shi_ref, sslo_ref, sshi_ref,
                 xlo_ref, xhi_ref,
                 s1lo, s1hi, s1slo, s1shi,
@@ -504,6 +552,83 @@ def _call(x, plan: NTTPlan, limb_map, forward: bool, scale4=None):
         out_shape=out_shape,
         interpret=_interpret(),
     )(*scalars, xlo, xhi, *tw)
+    shape = lead + (Lc, n)
+    return W64(olo.reshape(shape), ohi.reshape(shape))
+
+
+def host_scale_quad(scale, q) -> tuple:
+    """(lo, hi, shoup_lo, shoup_hi) device scalars from host per-limb
+    uint64 scale values (exact Shoup via native u128 / bigint)."""
+    q = np.asarray(q, dtype=np.uint64).reshape(-1)
+    s = np.asarray(scale, dtype=np.uint64).reshape(-1)
+    shoup = np.array(
+        [_np_shoup(s[i : i + 1], int(q[i]))[0] for i in range(len(q))],
+        dtype=np.uint64,
+    )
+    slo, shi = _split_u32(s)
+    sslo, sshi = _split_u32(shoup)
+    return (jnp.asarray(slo), jnp.asarray(shi),
+            jnp.asarray(sslo), jnp.asarray(sshi))
+
+
+def forward_ntt_sub_scale_pallas(x, sub, tables, post_quad, pre_quad=None):
+    """out = (sub - pre * NTT(x)) * post, fused into one kernel pass.
+
+    x, sub: W64 (..., L, N); post_quad/pre_quad: per-limb scale quads from
+    host_scale_quad (pre omitted = no multiplier on the NTT result)."""
+    from .w64 import W64
+
+    plan = tables.plan
+    n = plan.n
+    n1 = plan.n1
+    log_n1 = n1.bit_length() - 1
+    lead = x.shape[:-2]
+    Lc = x.shape[-2]
+    b = int(np.prod(lead)) if lead else 1
+    xlo = x.lo.reshape(b, Lc, n1, N2)
+    xhi = x.hi.reshape(b, Lc, n1, N2)
+    sublo = sub.lo.reshape(b, Lc, n1, N2)
+    subhi = sub.hi.reshape(b, Lc, n1, N2)
+
+    lm = tables.limb_map.astype(jnp.int32)
+    q_lo = jnp.take(plan.q_lo, lm)
+    q_hi = jnp.take(plan.q_hi, lm)
+    has_pre = pre_quad is not None
+    if pre_quad is None:
+        pre_quad = post_quad  # placeholder refs (unread when has_pre=False)
+    scalars = [lm, q_lo, q_hi, *post_quad, *pre_quad]
+
+    tw = plan.fw_s1 + plan.fw_s2 + plan.fw_tw
+    kernel = partial(_fwd_sub_scale_kernel, log_n1=log_n1, n1=n1,
+                     has_pre=has_pre)
+
+    zero = np.int32(0)
+
+    def data_map(l, bb, *_):
+        return (bb, l, zero, zero)
+
+    def tw_map(l, bb, lm_ref, *_):
+        return (lm_ref[l], zero, zero)
+
+    data_spec = pl.BlockSpec((1, 1, n1, N2), data_map, memory_space=pltpu.VMEM)
+    s1_spec = pl.BlockSpec((1, n1, log_n1), tw_map, memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((1, N2, LOG_N2), tw_map, memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((1, N2, n1), tw_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(Lc, b),
+        in_specs=[data_spec] * 4 + [s1_spec] * 4 + [s2_spec] * 4
+                 + [tw_spec] * 4,
+        out_specs=[data_spec, data_spec],
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, Lc, n1, N2), jnp.uint32)] * 2
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*scalars, xlo, xhi, sublo, subhi, *tw)
     shape = lead + (Lc, n)
     return W64(olo.reshape(shape), ohi.reshape(shape))
 
