@@ -32,7 +32,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-N_ACC = 2  # independent 128-bit accumulators (break the carry-chain
+N_ACC = 4  # independent 128-bit accumulators (break the carry-chain
            # dependency between consecutive terms; combined once per output)
 
 
