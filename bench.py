@@ -69,9 +69,12 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     )
     ct = Ciphertext(W64.from_np(data), chain_index=1, scale=2.0**40)
 
-    def chain(a, k, reps):
+    def chain(a, reps):
         def body(i, acc):
-            out = ev.relinearize(ctx, acc, k)  # size-3 -> size-2
+            # rlk is closed over: switching keys are long-lived resident
+            # device buffers (the reference holds evks device-side too),
+            # so the bench measures op throughput, not key streaming
+            out = ev.relinearize(ctx, acc, rlk)  # size-3 -> size-2
             # re-expand to size 3 so the loop carries a fixed shape
             return acc.with_data(w64.concat([out.data, out.data[0:1]], axis=0))
         return jax.lax.fori_loop(0, reps, body, a)
@@ -81,13 +84,13 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     # D2H fetch pins completion; dispatch/tunnel overhead cancels out)
     step = jax.jit(chain)
     t0 = time.time()
-    out = step(ct, rlk, 1)
+    out = step(ct, 1)
     np.asarray(out.data.lo[0, 0, :4])
     log(f"keyswitch compile+first ({time.time()-t0:.1f}s)")
 
     def timed(reps):
         t0 = time.time()
-        out = step(ct, rlk, reps)
+        out = step(ct, reps)
         np.asarray(out.data.lo[0, 0, :4])
         return time.time() - t0
 

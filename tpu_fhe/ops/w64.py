@@ -122,6 +122,27 @@ def as_w64(x) -> W64:
 
 # -- array manipulation helpers ---------------------------------------------
 
+def _in_mesh_context() -> bool:
+    """True when tracing under an active device mesh (GSPMD partitioning).
+
+    The XLA:CPU dynamic-update-slice concat lowering below MISCOMPILES
+    under the SPMD partitioner (observed: vmapped keyswitch on a
+    (batch, limb) CPU mesh corrupts exactly the limbs at shard boundaries,
+    2026-08-18) — sharded programs must use the native concatenate."""
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        if not _mesh_lib.thread_resources.env.physical_mesh.empty:
+            return True
+    except Exception:  # pragma: no cover - private API moved
+        pass
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        return bool(getattr(m, "shape_tuple", ()))
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _concat_planes(planes, axis: int):
     """Concatenate u32 planes.
 
@@ -129,8 +150,9 @@ def _concat_planes(planes, axis: int):
     keyswitch output) catastrophically — measured 16s vs 10ms at N=2048,
     and an optimization barrier does NOT help — so on CPU the concat is
     built from dynamic-update-slice copies instead.  TPU keeps the native
-    concatenate (fuses fine)."""
-    if jax.default_backend() != "cpu":
+    concatenate (fuses fine), and so do sharded (mesh) programs — the DUS
+    form is wrong under the SPMD partitioner (see _in_mesh_context)."""
+    if jax.default_backend() != "cpu" or _in_mesh_context():
         return jnp.concatenate(planes, axis=axis)
     axis = axis % planes[0].ndim
     out_shape = list(planes[0].shape)
