@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# CI pipeline mirroring the reference's .gitlab-ci.yml stages
+# (/root/reference/.gitlab-ci.yml: build -> test [example suites] -> bench).
+# Stages:
+#   test   - unit suite on the 8-device CPU mesh (tests/conftest.py)
+#   drive  - example suites as integration tests (the reference runs
+#            `example_context 1|2|3` = BFV/BGV/CKKS suites as its test stage)
+#   bench  - headline benchmark on the accelerator (one JSON line)
+# Usage: ./ci.sh [test|drive|bench|all]
+set -euo pipefail
+cd "$(dirname "$0")"
+
+stage="${1:-all}"
+
+run_test() {
+  python -m pytest tests/ -x -q
+}
+
+run_drive() {
+  python examples/bfv_basics.py --cpu
+  python examples/bgv_basics.py --cpu
+  python examples/ckks_basics.py --cpu --n 2048
+  python examples/ckks_chebyshev.py --cpu
+  python examples/serialization.py --cpu
+  python examples/bootstrap_ckks.py --cpu --logn 6
+}
+
+run_bench() {
+  python bench.py
+}
+
+case "$stage" in
+  test)  run_test ;;
+  drive) run_drive ;;
+  bench) run_bench ;;
+  all)   run_test; run_drive; run_bench ;;
+  *) echo "usage: $0 [test|drive|bench|all]" >&2; exit 2 ;;
+esac
