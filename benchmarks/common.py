@@ -21,7 +21,15 @@ def init_backend(args):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    enable_compile_cache(jax)
     return jax
+
+
+def enable_compile_cache(jax):
+    """Persistent XLA compile cache: first compiles are slow (esp. over the
+    TPU tunnel on a small host); reruns of any harness must not repay them."""
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def make_ckks(n, data_bits, num_data, size_p, first_bits=60, aux_bits=60):

@@ -2,7 +2,10 @@
 sweeps N_ACC (independent accumulators) and MAX_ROW_BLOCK at the keyswitch
 bench shapes (15->30, b=1 and b=2)."""
 
+import os as _os
 import sys
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import time
 
 import numpy as np

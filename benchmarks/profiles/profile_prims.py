@@ -3,7 +3,10 @@ NTT/iNTT per limb batch, bconv matmuls at modup/moddown shapes, and the
 elementwise scale ops, so keyswitch stage costs decompose exactly.
 """
 
+import os as _os
 import sys
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import time
 
 import numpy as np
@@ -15,6 +18,9 @@ def log(*a):
 
 def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from tpu_fhe.core.modulus import CoeffModulus
     from tpu_fhe.core.params import EncryptionParameters, SchemeType
