@@ -119,6 +119,13 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
         x30,
     )
 
+    # --- Galois automorphism gather (the hoisted-rotation tail) -------------
+    from tpu_fhe.ops.galois import apply_galois_ntt, galois_elt_from_step
+
+    elt = galois_elt_from_step(3, n)
+    x2_45 = rand((2, 45), np.concatenate([level.mod.q, ks.p_mod.q]))
+    bench("galois 2x45  ", lambda a: apply_galois_ntt(a, elt, n), x2_45)
+
 
 if __name__ == "__main__":
     main()

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--repeat", type=int, default=1,
                     help="time this many bootstrap calls (first includes "
                          "compilation; later ones are the honest latency)")
+    ap.add_argument("--eager", action="store_true",
+                    help="drive the eager per-op path instead of the "
+                         "single-program jitted bootstrap")
     args = ap.parse_args()
     import jax
 
@@ -109,7 +112,8 @@ def main():
 
     for rep in range(args.repeat):
         t0 = time.time()
-        out = boot.eval_bootstrap(ct)
+        out = (boot.eval_bootstrap(ct) if args.eager
+               else boot.eval_bootstrap_jit(ct))
         # D2H fetch = the only reliable completion barrier over the tunnel
         np.asarray(out.data.lo[0, 0, :4])
         dt = time.time() - t0

@@ -594,6 +594,42 @@ class CkksBootstrapper:
         return result
 
     # ------------------------------------------------------------------
+    def eval_bootstrap_jit(self, ct: Ciphertext, slots: int = 0) -> Ciphertext:
+        """Single-iteration bootstrap compiled as ONE XLA program.
+
+        The eager path dispatches thousands of ops one by one — over a
+        remote-TPU transport the per-op latency dominates end-to-end time.
+        Here the full pipeline (RaiseMod -> C2S -> sine -> double-angle ->
+        S2C) is traced into a single jitted program, keyed on the ct's
+        static metadata; keys and C2S/S2C plaintexts are passed as pytree
+        arguments so the executable holds no multi-GB constant pool.
+        Compiles once per (slots, level) — the persistent compile cache
+        makes that a one-time cost."""
+        import jax
+
+        slots = slots or self.ctx.n // 2
+        pre = self.precom[slots]
+        if not hasattr(self, "_jit_fns"):
+            self._jit_fns = {}
+        fn = self._jit_fns.get(slots)
+        if fn is None:
+            def run(ct, gk_keys, mul_key, a_c2s, a_s2c):
+                # install the traced pytrees for the duration of the trace
+                saved = (self.galois_keys, self.mul_key, pre.a_c2s, pre.a_s2c)
+                self.galois_keys = GaloisKey(gk_keys)
+                self.mul_key = mul_key
+                pre.a_c2s, pre.a_s2c = a_c2s, a_s2c
+                try:
+                    return self.eval_bootstrap(ct, slots, 1, 0)
+                finally:
+                    (self.galois_keys, self.mul_key,
+                     pre.a_c2s, pre.a_s2c) = saved
+
+            fn = jax.jit(run)
+            self._jit_fns[slots] = fn
+        return fn(ct, self.galois_keys.keys, self.mul_key,
+                  pre.a_c2s, pre.a_s2c)
+
     def eval_bootstrap(
         self, ct: Ciphertext, slots: int = 0, num_iterations: int = 1,
         precision: int = 0,
@@ -739,4 +775,6 @@ def jnp_add_mod(a, b, q):
 
 
 def _ext_q(level):
-    return np.concatenate([level.mod.q, level.ks.p_mod.q])
+    from ..utils.device import host_np
+
+    return np.concatenate([host_np(level.mod.q), host_np(level.ks.p_mod.q)])

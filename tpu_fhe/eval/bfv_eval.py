@@ -60,9 +60,9 @@ def _behz_lift(level: ContextLevel, bz: BehzTables, x: W64) -> W64:
     r = r * jnp.uint32(bz.neg_inv_q_mod_mtilde)                # wrap mod 2^32
     # centered: r' = r - 2^32 when r >= 2^31; represent mod b as r + (b - 2^32)
     r64 = W64(r[..., None, :], jnp.zeros_like(r)[..., None, :])  # (size,1,N)
-    b_minus = w64.as_w64(
-        np.asarray(bz.bsk_q, dtype=np.uint64) - np.uint64(1 << 32)
-    )
+    from ..utils.device import host_np
+
+    b_minus = w64.as_w64(host_np(bz.bsk_q, dtype=np.uint64) - np.uint64(1 << 32))
     shape = x.shape[:-2] + (bz.bsk_q.shape[0], x.shape[-1])
     r_center = w64.where(
         (r >= jnp.uint32(1 << 31))[..., None, :],

@@ -246,9 +246,15 @@ def _qlp_mod(level: ContextLevel):
     ks = level.ks
     import numpy as _np
 
-    q = _np.concatenate([level.mod.q, ks.p_mod.q])
-    rlo = _np.concatenate([level.mod.ratio_lo, ks.p_mod.ratio_lo])
-    rhi = _np.concatenate([level.mod.ratio_hi, ks.p_mod.ratio_hi])
+    from ..utils.device import host_np
+
+    q = _np.concatenate([host_np(level.mod.q), host_np(ks.p_mod.q)])
+    rlo = _np.concatenate(
+        [host_np(level.mod.ratio_lo), host_np(ks.p_mod.ratio_lo)]
+    )
+    rhi = _np.concatenate(
+        [host_np(level.mod.ratio_hi), host_np(ks.p_mod.ratio_hi)]
+    )
     return q, rlo, rhi
 
 

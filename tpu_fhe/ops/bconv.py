@@ -56,6 +56,17 @@ def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
 
     from .ntt_pallas import pallas_enabled
 
+    # Context tables arrive as device arrays (shipped in one batched
+    # device_put) but are host-known constants at trace time: normalize to
+    # numpy so the fast kernels below engage (free for shipped tables).
+    if not isinstance(qhat_mod_p, np.ndarray):
+        from ..utils.device import host_np
+
+        try:
+            qhat_mod_p = host_np(qhat_mod_p, dtype=np.uint64)
+        except Exception:  # traced (non-concrete) table: keep the XLA path
+            pass
+
     if (isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray)
             and _mxu_enabled() and k < 64):
         # int8 digit-plane matmul on the MXU: measured 1.7-4.9x over the

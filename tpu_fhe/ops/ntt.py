@@ -273,10 +273,11 @@ def inverse_ntt_scaled(x, t: DeviceNTTTables, scale, scale_shoup):
 
     if isinstance(x, W64) and _pallas_ok(t):
         from .ntt_pallas import _np_shoup, _split_u32, inverse_ntt_pallas
+        from ..utils.device import host_np
 
-        q = np.asarray(t.q, dtype=np.uint64).reshape(-1)
-        invn = np.asarray(t.inv_degree, dtype=np.uint64).reshape(-1)
-        s = np.asarray(scale, dtype=np.uint64).reshape(-1)
+        q = host_np(t.q, dtype=np.uint64).reshape(-1)
+        invn = host_np(t.inv_degree, dtype=np.uint64).reshape(-1)
+        s = host_np(scale, dtype=np.uint64).reshape(-1)
         fused = (
             (s.astype(object) * invn.astype(object)) % q.astype(object)
         ).astype(np.uint64)
@@ -313,10 +314,12 @@ def forward_ntt_sub_scale(x, sub, t: DeviceNTTTables, scale, scale_shoup,
 
     if isinstance(x, W64) and _pallas_ok(t):
         from .ntt_pallas import forward_ntt_sub_scale_pallas, host_scale_quad
+        from ..utils.device import host_np
 
-        q = np.asarray(t.q)
-        post_quad = host_scale_quad(scale, q)
-        pre_quad = None if pre is None else host_scale_quad(pre, q)
+        q = host_np(t.q, dtype=np.uint64)
+        post_quad = host_scale_quad(host_np(scale, dtype=np.uint64), q)
+        pre_quad = (None if pre is None
+                    else host_scale_quad(host_np(pre, dtype=np.uint64), q))
         return forward_ntt_sub_scale_pallas(x, sub, t, post_quad, pre_quad)
 
     y = forward_ntt(x, t)

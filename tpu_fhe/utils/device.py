@@ -71,7 +71,31 @@ def ship_to_device(roots) -> list:
     device = _jax.device_put(arrays)
     idx_to_dev = {i: d for i, d in enumerate(device)}
     rebuilt_memo = {oid: idx_to_dev[i] for oid, i in memo.items()}
+    for i, d in idx_to_dev.items():
+        _HOST_MIRROR[id(d)] = (d, arrays[i])
     return [_device_all(r, rebuilt_memo, arrays, rebuild=True) for r in roots]
 
 
 _ship_to_device = ship_to_device
+
+# id(device_array) -> (device_array_ref, host_numpy).  The ref pins the
+# device array so ids are never reused while an entry lives.
+_HOST_MIRROR: dict = {}
+
+
+def host_np(x, dtype=None) -> np.ndarray:
+    """Host copy of a (usually context-table) array without repeated D2H.
+
+    Tables are built on host, shipped once (ship_to_device) and then read
+    back at every jit TRACE by dispatch code (np.asarray on a tunneled TPU
+    array is a ~100ms RPC).  This returns the recorded host original for
+    shipped arrays and memoizes the fetch for anything else concrete."""
+    if isinstance(x, np.ndarray):
+        return x if dtype is None else np.asarray(x, dtype=dtype)
+    c = _HOST_MIRROR.get(id(x))
+    if c is not None and c[0] is x:
+        h = c[1]
+    else:
+        h = np.asarray(x)
+        _HOST_MIRROR[id(x)] = (x, h)
+    return h if dtype is None else np.asarray(h, dtype=dtype)
