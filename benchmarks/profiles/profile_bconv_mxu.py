@@ -29,6 +29,7 @@ def main(n=1 << 15, iters=30):
     from tpu_fhe.ops import w64
     from tpu_fhe.ops.bconv_mxu import bconv_matmul_mxu
     from tpu_fhe.ops.bconv_pallas import bconv_matmul_pallas
+    from tpu_fhe.ops.bconv_mxu_pallas import bconv_matmul_mxu_pallas
 
     log(f"backend: {jax.default_backend()}")
     rng = np.random.default_rng(0)
@@ -76,12 +77,15 @@ def main(n=1 << 15, iters=30):
         log(f"--- {tag}, N={n}")
         a = bench("pallas", lambda v: bconv_matmul_pallas(v, M, p, rlo, rhi), xw)
         b = bench("mxu   ", lambda v: bconv_matmul_mxu(v, M, p, rlo, rhi), xw)
-        log(f"speedup: {a/b:.2f}x")
+        c = bench("mxu-pl", lambda v: bconv_matmul_mxu_pallas(v, M, p, rlo, rhi), xw)
+        log(f"speedup: xla-mxu {a/b:.2f}x, fused {a/c:.2f}x")
 
     # bit-exactness on the live backend
     got_a = bconv_matmul_pallas(xw, M, p, rlo, rhi).to_np()
     got_b = bconv_matmul_mxu(xw, M, p, rlo, rhi).to_np()
-    log("exact match" if np.array_equal(got_a, got_b) else "MISMATCH!")
+    got_c = bconv_matmul_mxu_pallas(xw, M, p, rlo, rhi).to_np()
+    ok = np.array_equal(got_a, got_b) and np.array_equal(got_a, got_c)
+    log("exact match" if ok else "MISMATCH!")
 
 
 if __name__ == "__main__":

@@ -49,12 +49,16 @@ def test_balanced_digits_roundtrip():
     "k_in,k_out,lead",
     [(15, 30, ()), (15, 30, (2,)), (30, 15, (2,)), (3, 7, ()), (63, 2, ())],
 )
-def test_mxu_bconv_matches_bigint(k_in, k_out, lead):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_mxu_bconv_matches_bigint(k_in, k_out, lead, impl):
+    from tpu_fhe.ops.bconv_mxu_pallas import bconv_matmul_mxu_pallas
+
+    fn = bconv_matmul_mxu if impl == "xla" else bconv_matmul_mxu_pallas
     rng = np.random.default_rng(k_in * 31 + k_out)
     p, rlo, rhi = _mods(k_out)
     M = rng.integers(0, 1 << 61, size=(k_out, k_in), dtype=np.uint64)
     x = rng.integers(0, 1 << 61, size=lead + (k_in, 256), dtype=np.uint64)
-    got = bconv_matmul_mxu(w64.W64.from_np(x), M, p, rlo, rhi).to_np()
+    got = fn(w64.W64.from_np(x), M, p, rlo, rhi).to_np()
     if lead:
         for b in np.ndindex(*lead):
             assert np.array_equal(got[b], _ref_bconv(x[b], M, p))

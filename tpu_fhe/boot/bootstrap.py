@@ -388,6 +388,8 @@ class CkksBootstrapper:
         steps = self.find_rotation_indices(slots)
         self.galois_keys = sk.galois_key(steps, include_conj=True)
         self.mul_key = sk.relin_key()
+        # the BSGS stage jit captures galois keys as closure constants
+        self._bsgs_jit_fn = None
 
     # ------------------------------------------------------------------
     def adjust_ciphertext(self, ct: Ciphertext, correction: float) -> Ciphertext:
@@ -407,23 +409,76 @@ class CkksBootstrapper:
         ct = auto.mod_reduce(ctx, ct, 1)
         return replace(ct, scale=target_sf)
 
-    def apply_double_angle(self, ct: Ciphertext, num_iter: int) -> Ciphertext:
+    def apply_double_angle(self, ct: Ciphertext, num_iter: int,
+                           mul_key: RelinKey | None = None) -> Ciphertext:
         ctx = self.ctx
+        key = mul_key if mul_key is not None else self.mul_key
         r = num_iter
         for j in range(1, r + 1):
-            ct = auto.eval_square_auto(ctx, ct, self.mul_key)
+            ct = auto.eval_square_auto(ctx, ct, key)
             ct = auto.eval_add_auto(ctx, ct, ct)
             scalar = -1.0 / math.pow(2.0 * math.pi, math.pow(2.0, j - r))
             ct = auto.add_const(ctx, ct, scalar)
         return ct
 
     # ------------------------------------------------------------------
+    # Stage-level jit: each BSGS level / sine stage compiles as ONE XLA
+    # program (keyed on ct metadata + the static rotation plan), killing
+    # per-op dispatch latency without the intractable whole-pipeline
+    # compile.  Keys ride as closure constants (same objects across calls,
+    # so each stage compiles once per level).
+    @staticmethod
+    def _stage_jit_enabled() -> bool:
+        """Stage jit default: on for TPU, off for CPU (XLA:CPU compile of a
+        BSGS-stage program measured intractable even at logN=6; the fused
+        Pallas kernels keep the TPU programs small)."""
+        import os
+
+        import jax
+
+        mode = os.environ.get("TPU_FHE_BOOT_STAGE_JIT", "auto")
+        if mode == "never":
+            return False
+        if mode == "always":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _bsgs_jit(self):
+        if not self._stage_jit_enabled():
+            return self._bsgs_level
+        fn = self.__dict__.get("_bsgs_jit_fn")
+        if fn is None:
+            import jax
+
+            fn = jax.jit(self._bsgs_level, static_argnums=(2, 3, 4, 5, 6))
+            self._bsgs_jit_fn = fn
+        return fn
+
+    def _sine_jit(self, coefficients: tuple[float, ...]):
+        def sine(ct, mul_key):
+            out = cheb.eval_chebyshev_series(
+                self.ctx, ct, mul_key, list(coefficients), -1.0, 1.0
+            )
+            out = auto.mod_reduce(self.ctx, out, 1)
+            return self.apply_double_angle(out, self.r_iters, mul_key)
+
+        if not self._stage_jit_enabled():
+            return sine
+        key = ("_sine_jit_fn", coefficients)
+        fn = self.__dict__.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(sine)
+            self.__dict__[key] = fn
+        return fn
+
     def _bsgs_level(
         self,
         result: Ciphertext,
         A_level: list[Plaintext | None],
-        rot_in: list[int],
-        rot_out: list[int],
+        rot_in: tuple[int, ...],
+        rot_out: tuple[int, ...],
         b: int,
         g: int,
         num_rot: int,
@@ -525,8 +580,9 @@ class CkksBootstrapper:
                 )
                 for i in range(b)
             ]
-            result = self._bsgs_level(
-                result, pre.a_c2s[si], rot_in, rot_out, b, g, num_rot
+            result = self._bsgs_jit()(
+                result, pre.a_c2s[si], tuple(rot_in), tuple(rot_out),
+                b, g, num_rot,
             )
         if flag_rem:
             result = auto.mod_reduce(ctx, result, 1)
@@ -537,9 +593,9 @@ class CkksBootstrapper:
             rot_out = [
                 bm.reduce_rotation(g_rem * i, M // 4) for i in range(b_rem)
             ]
-            result = self._bsgs_level(
-                result, pre.a_c2s[stop], rot_in, rot_out, b_rem, g_rem,
-                num_rot_rem,
+            result = self._bsgs_jit()(
+                result, pre.a_c2s[stop], tuple(rot_in), tuple(rot_out),
+                b_rem, g_rem, num_rot_rem,
             )
         return result
 
@@ -570,8 +626,9 @@ class CkksBootstrapper:
                 bm.reduce_rotation((g * i) * (1 << (si * layers)), M // 4)
                 for i in range(b)
             ]
-            result = self._bsgs_level(
-                result, pre.a_s2c[si], rot_in, rot_out, b, g, num_rot
+            result = self._bsgs_jit()(
+                result, pre.a_s2c[si], tuple(rot_in), tuple(rot_out),
+                b, g, num_rot,
             )
         if flag_rem:
             result = auto.mod_reduce(ctx, result, 1)
@@ -587,48 +644,24 @@ class CkksBootstrapper:
                 bm.reduce_rotation((g_rem * i) * (1 << (si * layers)), M // 4)
                 for i in range(b_rem)
             ]
-            result = self._bsgs_level(
-                result, pre.a_s2c[si], rot_in, rot_out, b_rem, g_rem,
-                num_rot_rem,
+            result = self._bsgs_jit()(
+                result, pre.a_s2c[si], tuple(rot_in), tuple(rot_out),
+                b_rem, g_rem, num_rot_rem,
             )
         return result
 
     # ------------------------------------------------------------------
     def eval_bootstrap_jit(self, ct: Ciphertext, slots: int = 0) -> Ciphertext:
-        """Single-iteration bootstrap compiled as ONE XLA program.
+        """Single-iteration bootstrap with every heavy stage jitted.
 
-        The eager path dispatches thousands of ops one by one — over a
-        remote-TPU transport the per-op latency dominates end-to-end time.
-        Here the full pipeline (RaiseMod -> C2S -> sine -> double-angle ->
-        S2C) is traced into a single jitted program, keyed on the ct's
-        static metadata; keys and C2S/S2C plaintexts are passed as pytree
-        arguments so the executable holds no multi-GB constant pool.
-        Compiles once per (slots, level) — the persistent compile cache
-        makes that a one-time cost."""
-        import jax
-
-        slots = slots or self.ctx.n // 2
-        pre = self.precom[slots]
-        if not hasattr(self, "_jit_fns"):
-            self._jit_fns = {}
-        fn = self._jit_fns.get(slots)
-        if fn is None:
-            def run(ct, gk_keys, mul_key, a_c2s, a_s2c):
-                # install the traced pytrees for the duration of the trace
-                saved = (self.galois_keys, self.mul_key, pre.a_c2s, pre.a_s2c)
-                self.galois_keys = GaloisKey(gk_keys)
-                self.mul_key = mul_key
-                pre.a_c2s, pre.a_s2c = a_c2s, a_s2c
-                try:
-                    return self.eval_bootstrap(ct, slots, 1, 0)
-                finally:
-                    (self.galois_keys, self.mul_key,
-                     pre.a_c2s, pre.a_s2c) = saved
-
-            fn = jax.jit(run)
-            self._jit_fns[slots] = fn
-        return fn(ct, self.galois_keys.keys, self.mul_key,
-                  pre.a_c2s, pre.a_s2c)
+        The pipeline runs through cached stage programs (_bsgs_jit for each
+        hoisted BSGS level, _sine_jit for Chebyshev sine + double-angle) —
+        one XLA program per stage instead of per op, killing dispatch
+        latency while keeping compiles tractable on every backend (a
+        whole-pipeline jit was measured intractable for XLA:CPU even at
+        logN=6).  eval_bootstrap itself routes through the same stage jits,
+        so this entry point simply pins the single-iteration path."""
+        return self.eval_bootstrap(ct, slots or self.ctx.n // 2, 1, 0)
 
     def eval_bootstrap(
         self, ct: Ciphertext, slots: int = 0, num_iterations: int = 1,
@@ -708,16 +741,9 @@ class CkksBootstrapper:
                 ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
 
             # approximate mod reduction (two branches: re and im)
-            ctxt_enc = cheb.eval_chebyshev_series(
-                ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
-            )
-            ctxt_enc_i = cheb.eval_chebyshev_series(
-                ctx, ctxt_enc_i, self.mul_key, coefficients, -1.0, 1.0
-            )
-            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
-            ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
-            ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
-            ctxt_enc_i = self.apply_double_angle(ctxt_enc_i, self.r_iters)
+            sine = self._sine_jit(tuple(coefficients))
+            ctxt_enc = sine(ctxt_enc, self.mul_key)
+            ctxt_enc_i = sine(ctxt_enc_i, self.mul_key)
 
             ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, M // 4)
             ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, ctxt_enc_i)
@@ -746,11 +772,9 @@ class CkksBootstrapper:
             if ctxt_enc.noise_scale_deg == 2:
                 ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
 
-            ctxt_enc = cheb.eval_chebyshev_series(
-                ctx, ctxt_enc, self.mul_key, coefficients, -1.0, 1.0
+            ctxt_enc = self._sine_jit(tuple(coefficients))(
+                ctxt_enc, self.mul_key
             )
-            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
-            ctxt_enc = self.apply_double_angle(ctxt_enc, self.r_iters)
             ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
 
             ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)

@@ -18,6 +18,8 @@ import numpy as np
 from . import w64
 from .w64 import W64
 
+LANES = 128
+
 
 def _mxu_enabled() -> bool:
     """MXU (int8 dot) base conversion: default on TPU, overridable."""
@@ -69,8 +71,15 @@ def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
 
     if (isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray)
             and _mxu_enabled() and k < 64):
-        # int8 digit-plane matmul on the MXU: measured 1.7-4.9x over the
-        # Pallas VPU kernel at the keyswitch bench shapes (bit-exact)
+        # int8 digit-plane matmul on the MXU (bit-exact).  The fused Pallas
+        # form keeps the s32 diagonal tensor in VMEM; the XLA form is the
+        # fallback for ragged N.
+        if n % LANES == 0:
+            from .bconv_mxu_pallas import bconv_matmul_mxu_pallas
+
+            return bconv_matmul_mxu_pallas(
+                scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi
+            )
         from .bconv_mxu import bconv_matmul_mxu
 
         return bconv_matmul_mxu(scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)

@@ -1,0 +1,201 @@
+"""Fused MXU base-conversion kernel: digit extract + int8 dot + Barrett.
+
+ops/bconv_mxu.py proved the arithmetic (balanced base-256 digit planes,
+one s8 x s8 -> s32 dot computing every byte-diagonal sum, wrapping 128-bit
+reassembly, Barrett landing) but materializes the (15*k_out, N) s32
+diagonal tensor in HBM — at the keyswitch bench shape that is ~120 MB of
+round-trip traffic and dominates the op (measured 0.51 ms where the MXU
+work alone is ~20 us).
+
+This kernel runs the whole chain per N-tile in VMEM:
+
+  read (k_in, nT) u32-pair residues
+    -> extract 8 balanced s8 digit planes (VPU)
+    -> (15*k_out_pad, 8*k_in) @ (8*k_in, nT) s8 dot on the MXU (s32 exact:
+       |product| <= 2^14, K = 8*k_in <= 512 -> |D_s| < 2^23)
+    -> reassemble sum_s D_s 2^(8s) in wrapping u32-pair arithmetic
+       (exact: the true row sum < k_in * 2^122 < 2^128)
+    -> two-word Barrett per output limb
+  write (k_out, nT) u32-pair residues
+
+HBM traffic collapses to the input + output polynomials.  k_out is padded
+to a sublane multiple inside the matmul so every diagonal slice of the dot
+result is tile-aligned.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u32pair as u32
+from .bconv_mxu import N_DIAG, N_PLANES, _balanced_digits_host
+
+LANES = 128
+DEF_TILE = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@lru_cache(maxsize=None)
+def _diag_matrix_jk(m_bytes: bytes, k_out: int, k_in: int, k_out_pad: int):
+    """A[(s, p_pad), (j, k)] = Mdig_{s-j}[p, k] (int8), K ordered j-major to
+    match an in-kernel concat of the 8 digit planes along sublanes."""
+    m = np.frombuffer(m_bytes, dtype=np.uint64).reshape(k_out, k_in)
+    mdig = _balanced_digits_host(m)               # (8, k_out, k_in)
+    a = np.zeros((N_DIAG, k_out_pad, N_PLANES, k_in), dtype=np.int8)
+    for s in range(N_DIAG):
+        for j in range(N_PLANES):
+            i = s - j
+            if 0 <= i < N_PLANES:
+                a[s, :k_out, j, :] = mdig[i]
+    return a.reshape(N_DIAG * k_out_pad, N_PLANES * k_in)
+
+
+def _extract_digits(xl, xh):
+    """(k, nT) u32 pair -> (8k, nT) balanced s8 digits (concat j-major)."""
+    planes = []
+    carry = jnp.zeros_like(xl, dtype=jnp.int32)
+    for i in range(N_PLANES):
+        word = xl if i < 4 else xh
+        b = ((word >> np.uint32(8 * (i % 4))) & np.uint32(0xFF)).astype(
+            jnp.int32
+        ) + carry
+        carry = (b >= 128).astype(jnp.int32)
+        planes.append((b - (carry << 8)).astype(jnp.int8))
+    return jnp.concatenate(planes, axis=0)
+
+
+def _shl64(lo, hi, k: int):
+    if k == 0:
+        return lo, hi
+    return lo << k, (hi << k) | (lo >> (32 - k))
+
+
+def _kernel(a_ref, qlo_ref, qhi_ref, r0lo_ref, r0hi_ref, r1lo_ref, r1hi_ref,
+            xlo_ref, xhi_ref, olo_ref, ohi_ref, *, k_out: int, k_out_pad: int):
+    digits = _extract_digits(xlo_ref[0], xhi_ref[0])
+    d = jax.lax.dot_general(
+        a_ref[...], digits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (N_DIAG * k_out_pad, nT)
+
+    # group four byte-diagonals into one signed 64-bit word-aligned term
+    groups = []
+    for w in range((N_DIAG + 3) // 4):
+        glo = ghi = None
+        for r in range(4):
+            s = 4 * w + r
+            if s >= N_DIAG:
+                break
+            ds = d[s * k_out_pad: s * k_out_pad + k_out]
+            tlo = ds.astype(jnp.uint32)
+            thi = (ds >> 31).astype(jnp.uint32)
+            tlo, thi = _shl64(tlo, thi, 8 * r)
+            if glo is None:
+                glo, ghi = tlo, thi
+            else:
+                glo, ghi = u32.add64(glo, ghi, tlo, thi)
+        groups.append((glo, ghi))
+
+    # accumulate G_w << (32 w) into four wrapping u32 words (exact mod 2^128)
+    w0 = w1 = w2 = w3 = None
+    for w, (glo, ghi) in enumerate(groups):
+        sext = (ghi.astype(jnp.int32) >> 31).astype(jnp.uint32)
+        words = ([jnp.zeros_like(glo)] * w + [glo, ghi, sext, sext])[:4]
+        if w0 is None:
+            w0, w1, w2, w3 = words
+        else:
+            n0 = w0 + words[0]
+            c0 = (n0 < w0).astype(jnp.uint32)
+            n1 = w1 + words[1]
+            c1 = (n1 < w1).astype(jnp.uint32)
+            n1b = n1 + c0
+            c1 = c1 + (n1b < n1).astype(jnp.uint32)
+            n2 = w2 + words[2]
+            c2 = (n2 < w2).astype(jnp.uint32)
+            n2b = n2 + c1
+            c2 = c2 + (n2b < n2).astype(jnp.uint32)
+            n3 = w3 + words[3] + c2
+            w0, w1, w2, w3 = n0, n1b, n2b, n3
+
+    rlo, rhi = u32.barrett_reduce128(
+        w0, w1, w2, w3,
+        qlo_ref[...], qhi_ref[...],
+        r0lo_ref[...], r0hi_ref[...], r1lo_ref[...], r1hi_ref[...],
+    )
+    olo_ref[0] = rlo
+    ohi_ref[0] = rhi
+
+
+def _col(v, k_out) -> np.ndarray:
+    return np.asarray(v, dtype=np.uint64).reshape(k_out, 1)
+
+
+def bconv_matmul_mxu_pallas(scaled, qhat_mod_p, p, p_rlo, p_rhi,
+                            tile: int = DEF_TILE):
+    """Drop-in for ops.bconv.bconv_matmul (same contract as
+    ops.bconv_mxu.bconv_matmul_mxu), fused into one Pallas kernel."""
+    from .w64 import W64
+    from ..utils.device import host_np
+
+    m = host_np(qhat_mod_p, dtype=np.uint64)
+    k_out, k_in = m.shape
+    if k_in >= 64:
+        raise ValueError("k_in must be < 64 for the 128-bit row-sum bound")
+    k_out_pad = max(8, -(-k_out // 8) * 8)
+    lead = scaled.shape[:-2]
+    n = scaled.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    nt = min(tile, n)
+    while n % nt or nt % LANES:
+        nt -= LANES
+
+    a_big = _diag_matrix_jk(m.tobytes(), k_out, k_in, k_out_pad)
+
+    def split_words(v):
+        v = host_np(v, dtype=np.uint64).reshape(k_out, 1)
+        return (
+            jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    qlo, qhi = split_words(p)
+    r0lo, r0hi = split_words(p_rlo)
+    r1lo, r1hi = split_words(p_rhi)
+
+    xlo = scaled.lo.reshape(b, k_in, n)
+    xhi = scaled.hi.reshape(b, k_in, n)
+
+    zero = np.int32(0)
+
+    def x_map(bb, t):
+        return (bb, zero, t)
+
+    def const_map(bb, t):
+        return (zero, zero)
+
+    x_spec = pl.BlockSpec((1, k_in, nt), x_map, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, k_out, nt), x_map, memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec(a_big.shape, const_map, memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((k_out, 1), const_map, memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((b, k_out, n), jnp.uint32)] * 2
+    olo, ohi = pl.pallas_call(
+        partial(_kernel, k_out=k_out, k_out_pad=k_out_pad),
+        grid=(b, n // nt),
+        in_specs=[a_spec] + [c_spec] * 6 + [x_spec, x_spec],
+        out_specs=[o_spec, o_spec],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(jnp.asarray(a_big), qlo, qhi, r0lo, r0hi, r1lo, r1hi, xlo, xhi)
+    shape = lead + (k_out, n)
+    return W64(olo.reshape(shape), ohi.reshape(shape))
