@@ -176,20 +176,32 @@ def scale_and_round_hps(x_a: W64, x_b: W64, cross, diag, frac_hi, frac_lo,
 
     x_a: (..., k, N) the scaled source limbs; x_b: (..., m, N) the resident
     limbs of the output base; cross: (m, k); diag: (m, 1); frac over x_a."""
+    from ..utils.device import host_np
+
     m = x_b.shape[-2]
     n = x_a.shape[-1]
     lead = x_a.shape[:-2]
     k = x_a.shape[-2]
-    cw = w64.as_w64(np.asarray(cross, dtype=np.uint64))
-    acc_hi = w64.zeros(lead + (m, n))
-    acc_lo = w64.zeros(lead + (m, n))
-    for i in range(k):
-        xi = x_a[..., i:i + 1, :]
-        hi, lo = w64.mul_u64_full(xi, cw[:, i:i + 1])
+    if k + m < 64:
+        # fold the diagonal term into an extended conversion matrix
+        # [cross | diag(diag)] applied to [x_a; x_b]: the whole multiply
+        # chain then rides the fast bconv dispatch (fused MXU kernel on TPU)
+        cr = host_np(cross, dtype=np.uint64)
+        dg = host_np(diag, dtype=np.uint64).reshape(-1)
+        ext = np.concatenate([cr, np.diag(dg).astype(np.uint64)], axis=1)
+        x_ext = w64.concat([x_a, x_b], axis=-2)
+        out = bconv_matmul(x_ext, ext, p, p_ratio_lo, p_ratio_hi)
+    else:
+        cw = w64.as_w64(host_np(cross, dtype=np.uint64))
+        acc_hi = w64.zeros(lead + (m, n))
+        acc_lo = w64.zeros(lead + (m, n))
+        for i in range(k):
+            xi = x_a[..., i:i + 1, :]
+            hi, lo = w64.mul_u64_full(xi, cw[:, i:i + 1])
+            acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+        hi, lo = w64.mul_u64_full(x_b, w64.as_w64(host_np(diag, dtype=np.uint64)))
         acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
-    hi, lo = w64.mul_u64_full(x_b, w64.as_w64(np.asarray(diag, dtype=np.uint64)))
-    acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
-    out = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+        out = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
     alpha = frac_alpha(x_a, frac_hi, frac_lo)
     alpha_mod = w64.barrett_reduce_u64(alpha, p, p_ratio_hi)
     return w64.add_mod(out, w64.broadcast_to(alpha_mod, out.shape), p)
