@@ -128,10 +128,14 @@ class DeviceNTTTables:
 
     @staticmethod
     def concat(a: "DeviceNTTTables", b: "DeviceNTTTables") -> "DeviceNTTTables":
+        from ..utils.device import host_np
+
         flat_a = a.tree_flatten()[0][:9]
         flat_b = b.tree_flatten()[0][:9]
+        # host mirrors: the flats include the (L, N) twiddle planes, and a
+        # naive np.asarray on a tunneled TPU array is a multi-MB D2H RPC
         merged = [
-            np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
+            np.concatenate([host_np(x), host_np(y)], axis=0)
             for x, y in zip(flat_a, flat_b)
         ]
         # both sides must be views of the same key-level plan

@@ -64,6 +64,25 @@ class CkksEncoder:
         evals = np.fft.ifft(padded) * two_n  # sum_t m_t exp(+2pi i k t/2N)
         return evals[self.rot_group % two_n]
 
+    def _ext_tables(self, chain_index: int):
+        """Per-level cache of (QlP RNS base, QlP NTT tables) for encode_ext:
+        both are expensive to rebuild (the table concat touches the (L, N)
+        twiddle planes) and bootstrap setup encodes ~dozens of plaintexts
+        per level."""
+        cache = self.__dict__.setdefault("_ext_cache", {})
+        got = cache.get(chain_index)
+        if got is None:
+            from ..ops.ntt import DeviceNTTTables
+
+            ctx = self.context
+            level = ctx.level(chain_index)
+            got = (
+                level.base.extend(ctx.base_P),
+                DeviceNTTTables.concat(level.ntt, level.ks.p_ntt),
+            )
+            cache[chain_index] = got
+        return got
+
     # -- public API -------------------------------------------------------
     def encode(
         self,
@@ -114,12 +133,10 @@ class CkksEncoder:
         """Encode at the extended basis QlP (reference encode_ext,
         include/ckks.h:190-224) — plaintexts that multiply hoisted
         ciphertexts living at QlP."""
-        from ..ops.ntt import DeviceNTTTables
-
         ctx = self.context
         level = ctx.level(chain_index)
         ks = level.ks
-        ext_base = level.base.extend(ctx.base_P)
+        ext_base, ext_ntt = self._ext_tables(chain_index)
         values = np.asarray(values, dtype=np.complex128).ravel()
         slots = slots if slots is not None else len(values)
         if slots & (slots - 1):
@@ -129,7 +146,6 @@ class CkksEncoder:
         coeffs = self._embed_inverse(full) * scale
         rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
         data = _decompose_signed(rounded, ext_base)
-        ext_ntt = DeviceNTTTables.concat(level.ntt, ks.p_ntt)
         poly = forward_ntt(W64.from_np(data), ext_ntt)
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale,
