@@ -190,18 +190,15 @@ def coeff_encoding_collapse(
                 coeff[s] = [
                     np.zeros(slots, dtype=np.complex128) for _ in range(num_rot)
                 ]
+                # vectorized: temp[u][(k -+ r) mod slots] == np.roll(temp[u], +-r)
+                r = 1 << (top - l)
                 t = 0
                 for u in range((1 << (l + 1)) - 1):
-                    for k in range(slots):
-                        coeff[s][u + t][k] += (
-                            coeff1[top - l][k]
-                            * temp[u][reduce_rotation(k - (1 << (top - l)), slots)]
-                        )
-                        coeff[s][u + t + 1][k] += coeff1[top - l + logs][k] * temp[u][k]
-                        coeff[s][u + t + 2][k] += (
-                            coeff1[top - l + 2 * logs][k]
-                            * temp[u][reduce_rotation(k + (1 << (top - l)), slots)]
-                        )
+                    coeff[s][u + t] += coeff1[top - l] * np.roll(temp[u], r)
+                    coeff[s][u + t + 1] += coeff1[top - l + logs] * temp[u]
+                    coeff[s][u + t + 2] += (
+                        coeff1[top - l + 2 * logs] * np.roll(temp[u], -r)
+                    )
                     t += 1
 
     if flag_rem:
@@ -217,18 +214,15 @@ def coeff_encoding_collapse(
                 coeff[s] = [
                     np.zeros(slots, dtype=np.complex128) for _ in range(num_rot_rem)
                 ]
+                # vectorized: temp[u][(k -+ r) mod slots] == np.roll(temp[u], +-r)
+                r = 1 << (top - l)
                 t = 0
                 for u in range((1 << (l + 1)) - 1):
-                    for k in range(slots):
-                        coeff[s][u + t][k] += (
-                            coeff1[top - l][k]
-                            * temp[u][reduce_rotation(k - (1 << (top - l)), slots)]
-                        )
-                        coeff[s][u + t + 1][k] += coeff1[top - l + logs][k] * temp[u][k]
-                        coeff[s][u + t + 2][k] += (
-                            coeff1[top - l + 2 * logs][k]
-                            * temp[u][reduce_rotation(k + (1 << (top - l)), slots)]
-                        )
+                    coeff[s][u + t] += coeff1[top - l] * np.roll(temp[u], r)
+                    coeff[s][u + t + 1] += coeff1[top - l + logs] * temp[u]
+                    coeff[s][u + t + 2] += (
+                        coeff1[top - l + 2 * logs] * np.roll(temp[u], -r)
+                    )
                     t += 1
     return coeff
 
@@ -263,19 +257,14 @@ def coeff_decoding_collapse(
                 coeff[s] = [
                     np.zeros(slots, dtype=np.complex128) for _ in range(num_rot)
                 ]
-                for t in range(3):
-                    for u in range((1 << (l + 1)) - 1):
-                        for k in range(slots):
-                            if t == 0:
-                                coeff[s][u][k] += coeff1[s * layers + l][k] * temp[u][k]
-                            elif t == 1:
-                                coeff[s][u + (1 << l)][k] += (
-                                    coeff1[s * layers + l + logs][k] * temp[u][k]
-                                )
-                            else:
-                                coeff[s][u + (1 << (l + 1))][k] += (
-                                    coeff1[s * layers + l + 2 * logs][k] * temp[u][k]
-                                )
+                for u in range((1 << (l + 1)) - 1):
+                    coeff[s][u] += coeff1[s * layers + l] * temp[u]
+                    coeff[s][u + (1 << l)] += (
+                        coeff1[s * layers + l + logs] * temp[u]
+                    )
+                    coeff[s][u + (1 << (l + 1))] += (
+                        coeff1[s * layers + l + 2 * logs] * temp[u]
+                    )
 
     if flag_rem:
         s = rows
@@ -289,17 +278,12 @@ def coeff_decoding_collapse(
                 coeff[s] = [
                     np.zeros(slots, dtype=np.complex128) for _ in range(num_rot_rem)
                 ]
-                for t in range(3):
-                    for u in range((1 << (l + 1)) - 1):
-                        for k in range(slots):
-                            if t == 0:
-                                coeff[s][u][k] += coeff1[s * layers + l][k] * temp[u][k]
-                            elif t == 1:
-                                coeff[s][u + (1 << l)][k] += (
-                                    coeff1[s * layers + l + logs][k] * temp[u][k]
-                                )
-                            else:
-                                coeff[s][u + (1 << (l + 1))][k] += (
-                                    coeff1[s * layers + l + 2 * logs][k] * temp[u][k]
-                                )
+                for u in range((1 << (l + 1)) - 1):
+                    coeff[s][u] += coeff1[s * layers + l] * temp[u]
+                    coeff[s][u + (1 << l)] += (
+                        coeff1[s * layers + l + logs] * temp[u]
+                    )
+                    coeff[s][u + (1 << (l + 1))] += (
+                        coeff1[s * layers + l + 2 * logs] * temp[u]
+                    )
     return coeff
