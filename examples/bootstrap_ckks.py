@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--logn", type=int, default=6)
     ap.add_argument("--levels-after", type=int, default=1)
+    ap.add_argument("--slots", type=int, default=0,
+                    help="slot count (default N/2 = fully packed; smaller "
+                         "= sparse packing, the ResNet-style config)")
     ap.add_argument("--sparse-sine", action="store_true", default=None,
                     help="use the K=28/r=3 sine bound (small rings)")
     ap.add_argument("--repeat", type=int, default=1,
@@ -97,14 +100,15 @@ def main():
     sk = SecretKey(ctx, key=2024)
     boot = CkksBootstrapper(ctx, enc)
     boot.set_sine_params(k, r, deg)
-    boot.setup(level_budget=level_budget)
-    boot.keygen(sk)
+    slots = args.slots or n // 2
+    boot.setup(level_budget=level_budget, slots=slots)
+    boot.keygen(sk, slots)
     print(f"[setup+keygen] ({time.time()-t0:.1f}s)")
 
     sf, _ = auto.scaling_factors(ctx)
     rng = np.random.default_rng(0)
-    x = rng.uniform(-0.8, 0.8, n // 2)
-    ct = sk.encrypt_symmetric(enc.encode(x, sf[0]))
+    x = rng.uniform(-0.8, 0.8, slots)
+    ct = sk.encrypt_symmetric(enc.encode(x, sf[0], slots=slots))
     while ctx.level(ct.chain_index).size > 2:
         ct = ev.mod_drop_to_next(ctx, ct)
     print(f"[input] levels before bootstrap: "
@@ -112,14 +116,14 @@ def main():
 
     for rep in range(args.repeat):
         t0 = time.time()
-        out = (boot.eval_bootstrap(ct) if args.eager
-               else boot.eval_bootstrap_jit(ct))
+        out = (boot.eval_bootstrap(ct, slots) if args.eager
+               else boot.eval_bootstrap_jit(ct, slots))
         # D2H fetch = the only reliable completion barrier over the tunnel
         np.asarray(out.data.lo[0, 0, :4])
         dt = time.time() - t0
         if args.repeat > 1:
             print(f"[bootstrap] call {rep}: {dt:.1f}s")
-    got = enc.decode(sk.decrypt(out)).real
+    got = enc.decode(sk.decrypt(out), slots=slots).real
     prec = compute_bit_precision(got, x)
     levels_after = len(ctx.chain) - 1 - out.chain_index
     print(f"[bootstrap] {dt:.1f}s, precision={prec:.1f} bits, "

@@ -147,6 +147,19 @@ class CkksBootstrapper:
         )
 
     # ------------------------------------------------------------------
+    def _encode_ext_many(self, entries, scale_val, chain_index):
+        """Encode [(idx, vec)] via the batched encoder path (chunked to
+        bound host staging memory)."""
+        CHUNK = 16
+        out = []
+        for c0 in range(0, len(entries), CHUNK):
+            chunk = entries[c0:c0 + CHUNK]
+            pts = self.encoder.encode_ext_batch(
+                [v for _, v in chunk], scale_val, chain_index
+            )
+            out.extend(zip((i for i, _ in chunk), pts))
+        return out
+
     def _coeffs_to_slots_precompute(
         self, pre: BootPrecom, ksi, rot_group, flag_i, scale, L, sparse=False
     ):
@@ -204,6 +217,7 @@ class CkksBootstrapper:
             raw.append([None] * size)
 
         for s in range(level_budget - 1, stop, -1):
+            entries = []
             for i in range(b):
                 for j in range(g):
                     if g * i + j != num_rot:
@@ -216,12 +230,13 @@ class CkksBootstrapper:
                             vec = vec * scale
                         rotated = bm.rotate_vec(vec, rot)
                         raw[s][g * i + j] = rotated
-                        result[s][g * i + j] = self.encoder.encode_ext(
-                            rotated,
-                            sf[level0 - s],
-                            chain_index=chain_vector[s - stop],
-                        )
+                        entries.append((g * i + j, rotated))
+            for idx, pt in self._encode_ext_many(
+                entries, sf[level0 - s], chain_vector[s - stop]
+            ):
+                result[s][idx] = pt
         if flag_rem:
+            entries = []
             for i in range(b_rem):
                 for j in range(g_rem):
                     if g_rem * i + j != num_rot_rem:
@@ -229,9 +244,11 @@ class CkksBootstrapper:
                         vec = pick(stop, g_rem * i + j) * scale
                         rotated = bm.rotate_vec(vec, rot)
                         raw[stop][g_rem * i + j] = rotated
-                        result[stop][g_rem * i + j] = self.encoder.encode_ext(
-                            rotated, sf[level0], chain_index=chain_vector[0]
-                        )
+                        entries.append((g_rem * i + j, rotated))
+            for idx, pt in self._encode_ext_many(
+                entries, sf[level0], chain_vector[0]
+            ):
+                result[stop][idx] = pt
         return result, raw
 
     def _slots_to_coeffs_precompute(
@@ -281,6 +298,7 @@ class CkksBootstrapper:
             raw.append([None] * size)
 
         for s in range(level_budget - flag_rem):
+            entries = []
             for i in range(b):
                 for j in range(g):
                     if g * i + j != num_rot:
@@ -292,9 +310,11 @@ class CkksBootstrapper:
                             vec = vec * scale
                         rotated = bm.rotate_vec(vec, rot)
                         raw[s][g * i + j] = rotated
-                        result[s][g * i + j] = self.encoder.encode_ext(
-                            rotated, sf[level0 + s], chain_index=chain_vector[s]
-                        )
+                        entries.append((g * i + j, rotated))
+            for idx, pt in self._encode_ext_many(
+                entries, sf[level0 + s], chain_vector[s]
+            ):
+                result[s][idx] = pt
         if flag_rem:
             s = level_budget - flag_rem
             for i in range(b_rem):

@@ -108,15 +108,15 @@ class CkksEncoder:
         full = np.tile(values, reps)
 
         coeffs = self._embed_inverse(full) * scale
-        # exact big-int rounding: float -> int is exact at any magnitude,
-        # while object arrays of rounded *floats* would go through float
-        # modulo in the RNS decompose and corrupt residues for q > 2^52.
-        rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
-        max_coeff = max((abs(int(c)) for c in rounded), default=0)
-        if max_coeff.bit_length() + 2 >= level.base.big_modulus.bit_length():
+        # bound check before the exact round+decompose (float -> int is
+        # exact at any magnitude; the fast path uses vector int64, the
+        # fallback object ints — never float modulo, which would corrupt
+        # residues for q > 2^52)
+        amax = float(np.max(np.abs(coeffs))) if coeffs.size else 0.0
+        if int(amax).bit_length() + 2 >= level.base.big_modulus.bit_length():
             raise ValueError("encoded values are too large for the modulus")
 
-        data = _decompose_signed(rounded, level.base)
+        data = _round_decompose(coeffs, level.base)
         poly = forward_ntt(W64.from_np(data), level.ntt)
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale, is_ntt_form=True
@@ -144,13 +144,46 @@ class CkksEncoder:
         reps = self.slots // slots
         full = np.tile(values, reps)
         coeffs = self._embed_inverse(full) * scale
-        rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
-        data = _decompose_signed(rounded, ext_base)
+        data = _round_decompose(coeffs, ext_base)
         poly = forward_ntt(W64.from_np(data), ext_ntt)
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale,
             noise_scale_deg=noise_scale_deg, is_ntt_form=True,
         )
+
+    def encode_ext_batch(
+        self,
+        values_list,
+        scale: float,
+        chain_index: int = 1,
+        slots: int | None = None,
+        noise_scale_deg: int = 1,
+    ) -> list[Plaintext]:
+        """Batched encode_ext: ONE host->device transfer and ONE batched
+        forward NTT for a whole list of slot vectors.  Bootstrap setup
+        encodes hundreds of BSGS plaintexts per level; per-call device
+        round trips dominate on a tunneled TPU."""
+        ctx = self.context
+        level = ctx.level(chain_index)
+        ext_base, ext_ntt = self._ext_tables(chain_index)
+        planes = []
+        for values in values_list:
+            values = np.asarray(values, dtype=np.complex128).ravel()
+            s = slots if slots is not None else len(values)
+            if s & (s - 1):
+                raise ValueError("slot count must be a power of two")
+            full = np.tile(values, self.slots // s)
+            coeffs = self._embed_inverse(full) * scale
+            planes.append(_round_decompose(coeffs, ext_base))
+        batch = np.stack(planes)                     # (B, L, N)
+        poly = forward_ntt(W64.from_np(batch), ext_ntt)
+        return [
+            Plaintext(
+                data=poly[i], chain_index=chain_index, scale=scale,
+                noise_scale_deg=noise_scale_deg, is_ntt_form=True,
+            )
+            for i in range(len(planes))
+        ]
 
     def decode(self, pt: Plaintext, slots: int | None = None) -> np.ndarray:
         ctx = self.context
@@ -164,6 +197,24 @@ class CkksEncoder:
         if slots is not None:
             vals = vals[:slots]
         return vals
+
+
+def _round_decompose(coeffs: np.ndarray, base: RNSBase) -> np.ndarray:
+    """round(float64 coeffs) -> (L, N) residue planes, fast when possible.
+
+    A float64's integer value is exact (<= 52 significant bits), so for
+    |c| < 2^62 the round lands exactly in int64 and the per-limb reduction
+    is pure vector int64 arithmetic; larger coefficients take the exact
+    big-int path."""
+    amax = float(np.max(np.abs(coeffs))) if coeffs.size else 0.0
+    if amax < float(1 << 62):
+        ri = np.rint(coeffs).astype(np.int64)
+        out = np.empty((len(base), len(ri)), dtype=np.uint64)
+        for i, q in enumerate(base.values):
+            out[i] = (ri % np.int64(q)).astype(np.uint64)
+        return out
+    rounded = np.array([int(round(float(c))) for c in coeffs], dtype=object)
+    return _decompose_signed(rounded, base)
 
 
 def _decompose_signed(coeffs, base: RNSBase) -> np.ndarray:
