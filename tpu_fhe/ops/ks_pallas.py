@@ -108,26 +108,34 @@ def key_inner_prod_pallas(t, evk, limb_map, q_words, ratio_lo, ratio_hi):
     lm = jnp.asarray(limb_map, dtype=jnp.int32)
     scalars = [lm, qlo, qhi, r0lo, r0hi, r1lo, r1hi]
 
+    # tile the row axis so VMEM stays bounded at large beta/N: per grid
+    # step ~ rows_b * 128 * 8 * (3*beta + 2) bytes, double-buffered
+    budget = 6 << 20
+    rb = max(8, budget // (2 * LANES * 8 * (3 * beta + 2)) // 8 * 8)
+    rb = min(rb, rows)
+    while rows % rb:
+        rb -= 8
+
     zero = np.int32(0)
 
-    def t_map(l, lm_ref, *_):
-        return (zero, l, zero, zero)
+    def t_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
 
-    def k_map(l, lm_ref, *_):
-        return (zero, zero, lm_ref[l], zero, zero)
+    def k_map(l, r, lm_ref, *_):
+        return (zero, zero, lm_ref[l], r, zero)
 
-    def o_map(l, lm_ref, *_):
-        return (zero, l, zero, zero)
+    def o_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
 
-    t_spec = pl.BlockSpec((beta, 1, rows, LANES), t_map, memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((beta, 1, rb, LANES), t_map, memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec(
-        (beta, 2, 1, rows, LANES), k_map, memory_space=pltpu.VMEM
+        (beta, 2, 1, rb, LANES), k_map, memory_space=pltpu.VMEM
     )
-    o_spec = pl.BlockSpec((2, 1, rows, LANES), o_map, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((2, 1, rb, LANES), o_map, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(L,),
+        grid=(L, rows // rb),
         in_specs=[t_spec, t_spec, k_spec, k_spec],
         out_specs=[o_spec, o_spec],
     )
