@@ -445,8 +445,9 @@ class CkksBootstrapper:
     # Stage-level jit: each BSGS level / sine stage compiles as ONE XLA
     # program (keyed on ct metadata + the static rotation plan), killing
     # per-op dispatch latency without the intractable whole-pipeline
-    # compile.  Keys ride as closure constants (same objects across calls,
-    # so each stage compiles once per level).
+    # compile.  Keys and plaintexts ride as jit ARGUMENTS: closure-captured
+    # device arrays are serialized as constants into the compile payload
+    # (observed: 3GB of galois keys broke the remote-compile transport).
     @staticmethod
     def _stage_jit_enabled() -> bool:
         """Stage jit default: on for TPU, off for CPU (XLA:CPU compile of a
@@ -470,9 +471,19 @@ class CkksBootstrapper:
         if fn is None:
             import jax
 
-            fn = jax.jit(self._bsgs_level, static_argnums=(2, 3, 4, 5, 6))
+            fn = jax.jit(self._bsgs_level, static_argnums=(3, 4, 5, 6, 7))
             self._bsgs_jit_fn = fn
         return fn
+
+    def _keys_for(self, rot_in, rot_out) -> dict[int, RelinKey]:
+        # the key subset one BSGS level needs, as a jit-arg pytree
+        n = self.ctx.n
+        keys: dict[int, RelinKey] = {}
+        for step in list(rot_in) + list(rot_out):
+            if step != 0:
+                elt = galois_elt_from_step(step, n)
+                keys[elt] = self.galois_keys.key_for_elt(elt)
+        return keys
 
     def _sine_jit(self, coefficients: tuple[float, ...]):
         def sine(ct, mul_key):
@@ -497,6 +508,7 @@ class CkksBootstrapper:
         self,
         result: Ciphertext,
         A_level: list[Plaintext | None],
+        keys: dict[int, RelinKey],
         rot_in: tuple[int, ...],
         rot_out: tuple[int, ...],
         b: int,
@@ -508,14 +520,13 @@ class CkksBootstrapper:
         tables; src/bootstrap.cu:1256-1402)."""
         ctx = self.ctx
         n = ctx.n
-        gk = self.galois_keys
         digits = hst.fast_rotation_precompute(ctx, result)
         fast_rot: list[Ciphertext] = []
         for j in range(g):
             if rot_in[j] != 0:
                 elt = galois_elt_from_step(rot_in[j], n)
                 fast_rot.append(hst.fast_rotation_ext(
-                    ctx, result, digits, elt, gk.key_for_elt(elt), True
+                    ctx, result, digits, elt, keys[elt], True
                 ))
             else:
                 fast_rot.append(hst.keyswitch_ext(ctx, result))
@@ -550,7 +561,7 @@ class CkksBootstrapper:
                         ctx, outer,
                         hst.fast_rotation_ext(
                             ctx, inner_dn, inner_digits, elt,
-                            gk.key_for_elt(elt), False,
+                            keys[elt], False,
                         ),
                     )
                 else:
@@ -601,8 +612,8 @@ class CkksBootstrapper:
                 for i in range(b)
             ]
             result = self._bsgs_jit()(
-                result, pre.a_c2s[si], tuple(rot_in), tuple(rot_out),
-                b, g, num_rot,
+                result, pre.a_c2s[si], self._keys_for(rot_in, rot_out),
+                tuple(rot_in), tuple(rot_out), b, g, num_rot,
             )
         if flag_rem:
             result = auto.mod_reduce(ctx, result, 1)
@@ -614,8 +625,8 @@ class CkksBootstrapper:
                 bm.reduce_rotation(g_rem * i, M // 4) for i in range(b_rem)
             ]
             result = self._bsgs_jit()(
-                result, pre.a_c2s[stop], tuple(rot_in), tuple(rot_out),
-                b_rem, g_rem, num_rot_rem,
+                result, pre.a_c2s[stop], self._keys_for(rot_in, rot_out),
+                tuple(rot_in), tuple(rot_out), b_rem, g_rem, num_rot_rem,
             )
         return result
 
@@ -647,8 +658,8 @@ class CkksBootstrapper:
                 for i in range(b)
             ]
             result = self._bsgs_jit()(
-                result, pre.a_s2c[si], tuple(rot_in), tuple(rot_out),
-                b, g, num_rot,
+                result, pre.a_s2c[si], self._keys_for(rot_in, rot_out),
+                tuple(rot_in), tuple(rot_out), b, g, num_rot,
             )
         if flag_rem:
             result = auto.mod_reduce(ctx, result, 1)
@@ -665,8 +676,8 @@ class CkksBootstrapper:
                 for i in range(b_rem)
             ]
             result = self._bsgs_jit()(
-                result, pre.a_s2c[si], tuple(rot_in), tuple(rot_out),
-                b_rem, g_rem, num_rot_rem,
+                result, pre.a_s2c[si], self._keys_for(rot_in, rot_out),
+                tuple(rot_in), tuple(rot_out), b_rem, g_rem, num_rot_rem,
             )
         return result
 
