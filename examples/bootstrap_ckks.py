@@ -83,7 +83,10 @@ def main():
         gen_sine_coefficients(k, r, deg), normalized=False
     ) + r
     depth = args.levels_after + approx_depth + sum(level_budget) + 2
-    size_p = max(2, (depth + 60 // 59) // 5)
+    # larger special basis => fewer hybrid-KS digits: fused rotation keys
+    # shrink ~linearly with dnum (the reference's ResNet config uses P=10x60
+    # at comparable depth) and modup/inner-product work drops with beta
+    size_p = max(2, -(-depth // 3))
     bits = [60] + [59] * depth + [60] * size_p
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
