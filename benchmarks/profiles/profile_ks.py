@@ -31,7 +31,9 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
     from tpu_fhe.scheme.context import FheContext
     from tpu_fhe.scheme.keys import SecretKey
 
-    bits = [60] + [data_bits] * (num_data - 1) + [60] * size_p
+    # q32 regime (all primes < 2^30): every limb takes data_bits
+    kb = 60 if data_bits > 30 else data_bits
+    bits = [kb] + [data_bits] * (num_data - 1) + [kb] * size_p
     t0 = time.time()
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
@@ -58,11 +60,15 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
     c2w = w64.W64.from_np(c2)
 
     size_qlp = level.size + size_p
+    qlp = np.concatenate([qs, np.array(
+        [m.value for m in ctx.key_modulus[-size_p:]], dtype=np.uint64)])
     tmu = (
-        rng.integers(0, 1 << 59, size=(level.ks.beta, size_qlp, n), dtype=np.uint64)
+        rng.integers(0, 1 << 62, size=(level.ks.beta, size_qlp, n), dtype=np.uint64)
+        % qlp[None, :, None]
     )
     tmu_w = w64.W64.from_np(tmu)
-    cx = rng.integers(0, 1 << 59, size=(2, size_qlp, n), dtype=np.uint64)
+    cx = (rng.integers(0, 1 << 62, size=(2, size_qlp, n), dtype=np.uint64)
+          % qlp[None, :, None])
     cx_w = w64.W64.from_np(cx)
 
     def chain(fn, x, reps):
@@ -132,4 +138,12 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=15)
+    ap.add_argument("--bits", type=int, default=50)
+    ap.add_argument("--data", type=int, default=30)
+    ap.add_argument("--special", type=int, default=15)
+    a = ap.parse_args()
+    main(1 << a.logn, a.bits, a.data, a.special)

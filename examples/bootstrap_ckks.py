@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--repeat", type=int, default=1,
                     help="time this many bootstrap calls (first includes "
                          "compilation; later ones are the honest latency)")
+    ap.add_argument("--level-budget", default="",
+                    help="C2S,S2C level budget, e.g. '3,3' (default: 2,2 "
+                         "small rings; 4,4 at logn>=15 where HBM must hold "
+                         "all BSGS plaintexts + rotation keys)")
+    ap.add_argument("--dim1", default="",
+                    help="baby-step override g for C2S,S2C, e.g. '8,8'")
+    ap.add_argument("--size-p", type=int, default=0,
+                    help="special-modulus limb count override (larger P = "
+                         "fewer KS digits = smaller rotation keys)")
     ap.add_argument("--eager", action="store_true",
                     help="drive the eager per-op path instead of the "
                          "single-program jitted bootstrap")
@@ -69,8 +78,16 @@ def main():
 
     t0 = time.time()
     boot_probe = CkksBootstrapper.__new__(CkksBootstrapper)
-    # sine params must be set before computing depth
-    level_budget = (2, 2)
+    # sine params must be set before computing depth.  Large rings default
+    # to a {4,4} budget: 16 GB of HBM (TPU v5e) must hold every BSGS
+    # plaintext and rotation key, and per collapsed level the rotation
+    # count grows as 2^(layers+1) — deeper budgets trade 4 extra chain
+    # levels for ~4x less resident memory than the reference's {2,2}
+    # (which targets 80 GB A100s).
+    if args.level_budget:
+        level_budget = tuple(int(v) for v in args.level_budget.split(","))
+    else:
+        level_budget = (4, 4) if args.logn >= 15 else (2, 2)
     if use_sparse_sine:
         k, r, deg = 28, 3, 44
     else:
@@ -86,7 +103,10 @@ def main():
     # larger special basis => fewer hybrid-KS digits: fused rotation keys
     # shrink ~linearly with dnum (the reference's ResNet config uses P=10x60
     # at comparable depth) and modup/inner-product work drops with beta
-    size_p = max(2, -(-depth // 3))
+    # P covering half of Q => dnum = 2 hybrid-KS digits: rotation keys are
+    # (dnum * 2 * size_QP) limb planes each, and key memory dominates HBM
+    # at logn >= 15
+    size_p = args.size_p or max(2, -(-(depth + 1) // 2))
     bits = [60] + [59] * depth + [60] * size_p
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
@@ -104,7 +124,13 @@ def main():
     boot = CkksBootstrapper(ctx, enc)
     boot.set_sine_params(k, r, deg)
     slots = args.slots or n // 2
-    boot.setup(level_budget=level_budget, slots=slots)
+    # balanced baby/giant steps halve the rotation-key count per level
+    # (g-1 inner + b-1 outer keys) vs the default wide giant step
+    if args.dim1:
+        dim1 = tuple(int(v) for v in args.dim1.split(","))
+    else:
+        dim1 = (8, 8) if args.logn >= 15 and level_budget[0] >= 4 else (0, 0)
+    boot.setup(level_budget=level_budget, slots=slots, dim1=dim1)
     boot.keygen(sk, slots)
     print(f"[setup+keygen] ({time.time()-t0:.1f}s)")
 

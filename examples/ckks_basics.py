@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2048, help="ring degree")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--bits", default="60,40,40,40,60",
+                    help="comma-separated coeff-modulus bit sizes (last one "
+                         "is the special modulus); all < 31 engages the q32 "
+                         "single-word kernel regime")
     args = ap.parse_args()
 
     if args.cpu:
@@ -43,10 +47,11 @@ def main():
 
     n = args.n
     t0 = time.time()
+    bits = [int(b) for b in args.bits.split(",")]
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
-        coeff_modulus=tuple(CoeffModulus.create(n, [60, 40, 40, 40, 60])),
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=1,
     )
     ctx = FheContext(params)
@@ -65,7 +70,7 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.standard_normal(slots)
     y = rng.standard_normal(slots)
-    scale = 2.0**40
+    scale = 2.0 ** bits[1]  # rescale-friendly: matches the data primes
 
     ct_x = encrypt_asymmetric(ctx, pk, enc.encode(x, scale), jax.random.key(1))
     ct_y = sk.encrypt_symmetric(enc.encode(y, scale))

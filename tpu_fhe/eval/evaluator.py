@@ -216,7 +216,10 @@ def key_inner_product(
     if pallas_enabled() and n % 128 == 0 and (n // 128) % 8 == 0:
         # fused kernel: the Ql ++ P evk limb slice happens in the block
         # index map, the digit loop in VMEM (ops/ks_pallas.py)
-        from ..ops.ks_pallas import key_inner_prod_pallas
+        from ..ops.ks_pallas import (
+            key_inner_prod_pallas, key_inner_prod_pallas32,
+        )
+        from ..ops.ntt_pallas import NTTPlan32
         import numpy as _np
 
         q, rlo, rhi = _qlp_mod(level)
@@ -224,6 +227,11 @@ def key_inner_product(
             _np.arange(size_Ql, dtype=_np.int32),
             _np.arange(size_Q, evk.shape[2], dtype=_np.int32),
         ])
+        if isinstance(level.ntt.plan, NTTPlan32):
+            # q32 context: single-word residues, 96-bit digit accumulator
+            return key_inner_prod_pallas32(
+                t_mod_up[:beta], evk, limb_map, q.reshape(-1)
+            )
         return key_inner_prod_pallas(
             t_mod_up[:beta], evk, limb_map,
             q.reshape(-1), rlo.reshape(-1), rhi.reshape(-1),

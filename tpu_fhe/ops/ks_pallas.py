@@ -79,6 +79,110 @@ def _kernel(lm_ref, qlo_ref, qhi_ref, r0lo_ref, r0hi_ref, r1lo_ref, r1hi_ref,
         ohi_ref[c, 0] = rhi
 
 
+def _add96(a, p):
+    """(w0, w1, w2) += 64-bit (p0, p1) with carries; all uint32 tensors."""
+    a0, a1, a2 = a
+    p0, p1 = p
+    s0 = a0 + p0
+    c0 = (s0 < a0).astype(jnp.uint32)
+    s1 = a1 + p1
+    c1 = (s1 < a1).astype(jnp.uint32)
+    s1b = s1 + c0
+    c1b = (s1b < s1).astype(jnp.uint32)
+    s2 = a2 + c1 + c1b
+    return s0, s1b, s2
+
+
+def _kernel32(lm_ref, q_ref, wso_ref, c32_ref, c32s_ref, c64_ref, c64s_ref,
+              t_ref, k_ref, o_ref, *, beta: int):
+    """q32 variant: residues are single u32 words (q < 2^30), products are
+    64-bit, the digit sum runs in a 96-bit accumulator and lands with the
+    word-fold Barrett (u32.barrett_reduce96_32)."""
+    l = pl.program_id(0)
+    q = q_ref[l]
+    args = (wso_ref[l], c32_ref[l], c32s_ref[l], c64_ref[l], c64s_ref[l])
+
+    for c in range(2):
+        acc = None
+        for d in range(beta):
+            prod = u32.mul32(t_ref[d, 0], k_ref[d, c, 0])
+            if acc is None:
+                acc = (prod[0], prod[1], jnp.zeros_like(prod[0]))
+            else:
+                acc = _add96(acc, prod)
+        o_ref[c, 0] = u32.barrett_reduce96_32(*acc, q, *args)
+
+
+def key_inner_prod_pallas32(t, evk, limb_map, q_words):
+    """q32 inner product: t (beta, L, N) and evk (dnum, 2, size_QP, N) carry
+    residues < 2^30 in their lo planes; returns W64 (2, L, N) with zero hi.
+    Same contract as key_inner_prod_pallas (the Barrett constants derive
+    from q_words on host)."""
+    from .w64 import W64
+
+    beta, L, n = t.shape
+    rows = n // LANES
+
+    def planes(x):
+        return x.reshape(x.shape[:-1] + (rows, LANES))
+
+    tlo = planes(t.lo)
+    klo = planes(evk.lo)
+
+    q = np.asarray(q_words, dtype=np.uint64).reshape(-1)
+    ws_one = ((np.uint64(1) << np.uint64(32)) * np.ones_like(q)) // q
+    c32 = (np.uint64(1) << np.uint64(32)) % q
+    c64 = np.array([(1 << 64) % int(m) for m in q], dtype=np.uint64)
+    c32s = ((c32 << np.uint64(32)) // q)
+    c64s = ((c64 << np.uint64(32)) // q)
+
+    def u32arr(v):
+        return jnp.asarray(v.astype(np.uint32))
+
+    lm = jnp.asarray(limb_map, dtype=jnp.int32)
+    scalars = [lm, u32arr(q), u32arr(ws_one), u32arr(c32), u32arr(c32s),
+               u32arr(c64), u32arr(c64s)]
+
+    budget = 6 << 20
+    per_row = 2 * LANES * 4 * (2 * beta + 2)
+    rb = max(8, budget // per_row // 8 * 8)
+    rb = min(rb, rows)
+    while rows % rb:
+        rb -= 8
+
+    zero = np.int32(0)
+
+    def t_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    def k_map(l, r, lm_ref, *_):
+        return (zero, zero, lm_ref[l], r, zero)
+
+    def o_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    t_spec = pl.BlockSpec((beta, 1, rb, LANES), t_map, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (beta, 2, 1, rb, LANES), k_map, memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec((2, 1, rb, LANES), o_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(L, rows // rb),
+        in_specs=[t_spec, k_spec],
+        out_specs=o_spec,
+    )
+    olo = pl.pallas_call(
+        partial(_kernel32, beta=beta),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, L, rows, LANES), jnp.uint32),
+        interpret=_interpret(),
+    )(*scalars, tlo, klo)
+    olo = olo.reshape(2, L, n)
+    return W64(olo, jnp.zeros_like(olo))
+
+
 def key_inner_prod_pallas(t, evk, limb_map, q_words, ratio_lo, ratio_hi):
     """t: W64 (beta, L, N); evk: W64 (dnum, 2, size_QP, N);
     limb_map: (L,) int32 indices into the evk limb axis (Ql ++ P slice);

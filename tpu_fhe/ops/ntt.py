@@ -182,7 +182,9 @@ def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
     def arr2(vals):
         return np.asarray(vals, dtype=np.uint64).reshape(len(tables), -1)
 
-    from .ntt_pallas import _np_shoup, build_ntt_plan
+    from .ntt_pallas import (
+        Q32_BOUND, _np_shoup, build_ntt_plan, build_ntt_plan32,
+    )
 
     roots = np.array([t.root_powers for t in tables], dtype=np.uint64)
     inv_roots = np.array([t.inv_root_powers for t in tables], dtype=np.uint64)
@@ -193,7 +195,12 @@ def build_device_ntt_tables(tables: list[NTTTables]) -> DeviceNTTTables:
         [_np_shoup(inv_roots[i], t.modulus.value) for i, t in enumerate(tables)]
     )
 
-    plan = build_ntt_plan(tables)
+    # all-moduli-under-2^30 contexts get the single-word kernel plan (the
+    # TPU-native composite-scaling regime); otherwise the u32-pair plan
+    if all(t.modulus.value < Q32_BOUND for t in tables):
+        plan = build_ntt_plan32(tables)
+    else:
+        plan = build_ntt_plan(tables)
     return DeviceNTTTables(
         q=arr2([[q] for q in qs]),
         ratio_lo=arr2([[t.modulus.const_ratio[0]] for t in tables]),
@@ -276,7 +283,10 @@ def inverse_ntt_scaled(x, t: DeviceNTTTables, scale, scale_shoup):
     from .w64 import W64
 
     if isinstance(x, W64) and _pallas_ok(t):
-        from .ntt_pallas import _np_shoup, _split_u32, inverse_ntt_pallas
+        from .ntt_pallas import (
+            NTTPlan32, _np_shoup, _split_u32, host_scale_pair32,
+            inverse_ntt_pallas,
+        )
         from ..utils.device import host_np
 
         q = host_np(t.q, dtype=np.uint64).reshape(-1)
@@ -285,6 +295,10 @@ def inverse_ntt_scaled(x, t: DeviceNTTTables, scale, scale_shoup):
         fused = (
             (s.astype(object) * invn.astype(object)) % q.astype(object)
         ).astype(np.uint64)
+        if isinstance(t.plan, NTTPlan32):
+            return inverse_ntt_pallas(
+                x, t, scale4=host_scale_pair32(fused, q)
+            )
         fused_shoup = np.array(
             [_np_shoup(fused[i : i + 1], int(q[i]))[0] for i in range(len(q))],
             dtype=np.uint64,
@@ -317,10 +331,19 @@ def forward_ntt_sub_scale(x, sub, t: DeviceNTTTables, scale, scale_shoup,
     from .w64 import W64
 
     if isinstance(x, W64) and _pallas_ok(t):
-        from .ntt_pallas import forward_ntt_sub_scale_pallas, host_scale_quad
+        from .ntt_pallas import (
+            NTTPlan32, forward_ntt_sub_scale_pallas,
+            forward_ntt_sub_scale_pallas32, host_scale_pair32,
+            host_scale_quad,
+        )
         from ..utils.device import host_np
 
         q = host_np(t.q, dtype=np.uint64)
+        if isinstance(t.plan, NTTPlan32):
+            post2 = host_scale_pair32(host_np(scale, dtype=np.uint64), q)
+            pre2 = (None if pre is None
+                    else host_scale_pair32(host_np(pre, dtype=np.uint64), q))
+            return forward_ntt_sub_scale_pallas32(x, sub, t, post2, pre2)
         post_quad = host_scale_quad(host_np(scale, dtype=np.uint64), q)
         pre_quad = (None if pre is None
                     else host_scale_quad(host_np(pre, dtype=np.uint64), q))

@@ -635,11 +635,290 @@ def forward_ntt_sub_scale_pallas(x, sub, tables, post_quad, pre_quad=None):
 
 def forward_ntt_pallas(x, tables) -> jnp.ndarray:
     """Fused forward NTT; drop-in for ops.ntt.forward_ntt on supported N."""
+    if isinstance(tables.plan, NTTPlan32):
+        return _call32(x, tables.plan, tables.limb_map, forward=True)
     return _call(x, tables.plan, tables.limb_map, forward=True)
 
 
 def inverse_ntt_pallas(x, tables, scale4=None) -> jnp.ndarray:
     """Fused inverse NTT including the n^{-1} scale (or a caller-supplied
     fused per-limb scale quad (lo, hi, shoup_lo, shoup_hi) that must already
-    include n^{-1})."""
+    include n^{-1}; on the q32 plan a (value, shoup32) pair)."""
+    if isinstance(tables.plan, NTTPlan32):
+        return _call32(x, tables.plan, tables.limb_map, forward=False,
+                       scale2=scale4)
     return _call(x, tables.plan, tables.limb_map, forward=False, scale4=scale4)
+
+
+# ---------------------------------------------------------------------------
+# q32 fast path: all moduli < 2^30 -> one u32 plane carries a full residue
+# ---------------------------------------------------------------------------
+#
+# The TPU VPU is a 32-bit machine; with 30-bit NTT primes every butterfly
+# multiply collapses from ~28 widened 16-bit-half multiplies (u32-pair
+# Shoup) to 6 native u32 multiplies (u32.mul_mod_shoup32).  Harvey's lazy
+# [0, 4q) form fits one word exactly when q < 2^30.  This is the TPU-native
+# parameter regime (composite scaling: pairs of ~30-bit primes replace one
+# ~60-bit prime at identical security = identical total log Q); the 64-bit
+# plan remains the default for reference-parity parameters.
+
+Q32_BOUND = 1 << 30
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class NTTPlan32:
+    """q32 twiddle plan: (value, shoup32) u32 pairs per stage layout."""
+
+    fw_s1: tuple
+    fw_s2: tuple
+    fw_tw: tuple
+    iv_s1: tuple
+    iv_s2: tuple
+    iv_tw: tuple
+    q32: jnp.ndarray
+    invn: jnp.ndarray
+    invn_s: jnp.ndarray
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self.__dataclass_fields__), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n(self) -> int:
+        return self.fw_tw[0].shape[-1] * N2
+
+    @property
+    def n1(self) -> int:
+        return self.fw_tw[0].shape[-1]
+
+
+def _shoup32_host(vals_u32: np.ndarray, q: int) -> np.ndarray:
+    """floor(w * 2^32 / q) as u32 (exact in u64: w < 2^30)."""
+    w = vals_u32.astype(np.uint64)
+    return ((w << np.uint64(32)) // np.uint64(q)).astype(np.uint32)
+
+
+def build_ntt_plan32(tables) -> "NTTPlan32 | None":
+    """q32 plan from host NTTTables; requires every modulus < 2^30."""
+    n = tables[0].n
+    if n < MIN_N:
+        return None
+    if any(t.modulus.value >= Q32_BOUND for t in tables):
+        return None
+    per = [_limb_plan(t) for t in tables]
+    qs = [int(t.modulus.value) for t in tables]
+
+    def stack(key):
+        vals = np.stack([per[l][key][0] for l in range(len(tables))], axis=0)
+        shoup = np.stack(
+            [_shoup32_host(per[l][key][0], qs[l]) for l in range(len(tables))],
+            axis=0,
+        )
+        return (vals, shoup)
+
+    invn = np.array([per[l]["invn"][0] for l in range(len(tables))],
+                    dtype=np.uint32)
+    invn_s = np.array(
+        [_shoup32_host(invn[l:l + 1], qs[l])[0] for l in range(len(tables))],
+        dtype=np.uint32,
+    )
+    return NTTPlan32(
+        fw_s1=stack("fw_s1"), fw_s2=stack("fw_s2"), fw_tw=stack("fw_tw"),
+        iv_s1=stack("iv_s1"), iv_s2=stack("iv_s2"), iv_tw=stack("iv_tw"),
+        q32=np.array(qs, dtype=np.uint32), invn=invn, invn_s=invn_s,
+    )
+
+
+def _dit_stages32(x, wv_ref, ws_ref, n_stages, rows, cols, q, q2,
+                  first_stage_rowgap):
+    """Forward DIT stages, single u32 plane, invariant [0, 4q), q < 2^30."""
+    for k in range(n_stages):
+        s = first_stage_rowgap >> k
+        wv = wv_ref[0, :, k:k + 1]
+        ws = ws_ref[0, :, k:k + 1]
+        if s >= SLICE_MIN_GAP:
+            pieces = []
+            for base in range(0, rows, 2 * s):
+                a = u32.csub32(x[base:base + s], q2)           # [0, 2q)
+                v = u32.mul_mod_shoup32(
+                    x[base + s:base + 2 * s], wv[base:base + s],
+                    ws[base:base + s], q, lazy=True)           # [0, 2q)
+                pieces += [a + v, a + q2 - v]                  # [0, 4q)
+            x = jnp.concatenate(pieces, axis=0)
+            continue
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        is_a = (row_id & s) == 0
+        a = u32.csub32(x, q2)
+        b = _roll_up(x, s)
+        v = u32.mul_mod_shoup32(b, wv, ws, q, lazy=True)
+        d = _roll_down(a + q2 - v, s)
+        x = jnp.where(is_a, a + v, d)
+    return x
+
+
+def _gs_stages32(x, wv_ref, ws_ref, n_stages, rows, cols, q, q2,
+                 first_stage_rowgap):
+    """Inverse GS stages, single u32 plane, invariant [0, 2q), q < 2^30."""
+    for k in range(n_stages):
+        s = first_stage_rowgap << k
+        col = n_stages - 1 - k
+        wv = wv_ref[0, :, col:col + 1]
+        ws = ws_ref[0, :, col:col + 1]
+        if s >= SLICE_MIN_GAP:
+            pieces = []
+            for base in range(0, rows, 2 * s):
+                a = x[base:base + s]
+                b = x[base + s:base + 2 * s]
+                u = u32.csub32(a + b, q2)                      # [0, 2q)
+                v = u32.mul_mod_shoup32(
+                    a + q2 - b, wv[base + s:base + 2 * s],
+                    ws[base + s:base + 2 * s], q, lazy=True)   # [0, 2q)
+                pieces += [u, v]
+            x = jnp.concatenate(pieces, axis=0)
+            continue
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        is_a = (row_id & s) == 0
+        b = _roll_up(x, s)
+        u = u32.csub32(x + b, q2)
+        t = _roll_down(x, s) + q2 - x
+        v = u32.mul_mod_shoup32(t, wv, ws, q, lazy=True)
+        x = jnp.where(is_a, u, v)
+    return x
+
+
+def _fwd_body32(x, q, q2, s1, s2, tw, log_n1, n1):
+    x = _dit_stages32(x, s1[0], s1[1], log_n1, n1, N2, q, q2, n1 >> 1)
+    x = x.T
+    x = u32.mul_mod_shoup32(x, tw[0][0], tw[1][0], q, lazy=True)
+    x = _dit_stages32(x, s2[0], s2[1], LOG_N2, N2, n1, q, q2, N2 >> 1)
+    return u32.csub32(u32.csub32(x, q2), q)  # [0, q), transposed layout
+
+
+def _fwd_kernel32(lm_ref, q_ref, xref, s1v, s1s, s2v, s2s, twv, tws, oref,
+                  *, log_n1: int, n1: int):
+    l = pl.program_id(0)
+    q = q_ref[l]
+    x = _fwd_body32(xref[0, 0], q, q + q, (s1v, s1s), (s2v, s2s), (twv, tws),
+                    log_n1, n1)
+    oref[0, 0] = x.T
+
+
+def _fwd_sub_scale_kernel32(lm_ref, q_ref, pv_ref, ps_ref, ev_ref, es_ref,
+                            xref, subref, s1v, s1s, s2v, s2s, twv, tws, oref,
+                            *, log_n1: int, n1: int, has_pre: bool):
+    l = pl.program_id(0)
+    q = q_ref[l]
+    x = _fwd_body32(xref[0, 0], q, q + q, (s1v, s1s), (s2v, s2s), (twv, tws),
+                    log_n1, n1).T
+    if has_pre:
+        x = u32.mul_mod_shoup32(x, ev_ref[l], es_ref[l], q)
+    d = u32.csub32(subref[0, 0] + q - x, q)
+    oref[0, 0] = u32.mul_mod_shoup32(d, pv_ref[l], ps_ref[l], q)
+
+
+def _inv_kernel32(lm_ref, q_ref, sv_ref, ss_ref, xref,
+                  s1v, s1s, s2v, s2s, twv, tws, oref,
+                  *, log_n1: int, n1: int):
+    l = pl.program_id(0)
+    q = q_ref[l]
+    q2 = q + q
+    x = xref[0, 0].T
+    x = _gs_stages32(x, s2v, s2s, LOG_N2, N2, n1, q, q2, 1)
+    x = u32.mul_mod_shoup32(x, twv[0], tws[0], q, lazy=True)
+    x = x.T
+    x = _gs_stages32(x, s1v, s1s, log_n1, n1, N2, q, q2, 1)
+    oref[0, 0] = u32.mul_mod_shoup32(x, sv_ref[l], ss_ref[l], q)
+
+
+def _call32(x, plan: NTTPlan32, limb_map, forward: bool, scale2=None,
+            sub=None, post2=None, pre2=None):
+    """q32 kernels over x.lo; hi planes are statically zero ([0, q), q<2^30).
+
+    Without sub: plain forward/inverse transform.  With sub (forward only):
+    the fused (sub - pre*NTT(x)) * post landing, post2/pre2 = (val, shoup32)
+    per-limb u32 pairs."""
+    from .w64 import W64
+
+    n = plan.n
+    n1 = plan.n1
+    log_n1 = n1.bit_length() - 1
+    lead = x.shape[:-2]
+    Lc = x.shape[-2]
+    b = int(np.prod(lead)) if lead else 1
+    xlo = x.lo.reshape(b, Lc, n1, N2)
+
+    lm = limb_map.astype(jnp.int32)
+    q32 = jnp.take(plan.q32, lm)
+    scalars = [lm, q32]
+    data_refs = [xlo]
+    if sub is not None:
+        if pre2 is None:
+            has_pre = False
+            pre2 = post2
+        else:
+            has_pre = True
+        scalars += [*post2, *pre2]
+        data_refs.append(sub.lo.reshape(b, Lc, n1, N2))
+        tw = plan.fw_s1 + plan.fw_s2 + plan.fw_tw
+        kernel = partial(_fwd_sub_scale_kernel32, log_n1=log_n1, n1=n1,
+                         has_pre=has_pre)
+    elif forward:
+        tw = plan.fw_s1 + plan.fw_s2 + plan.fw_tw
+        kernel = partial(_fwd_kernel32, log_n1=log_n1, n1=n1)
+    else:
+        if scale2 is None:
+            scale2 = (jnp.take(plan.invn, lm), jnp.take(plan.invn_s, lm))
+        scalars += list(scale2)
+        tw = plan.iv_s1 + plan.iv_s2 + plan.iv_tw
+        kernel = partial(_inv_kernel32, log_n1=log_n1, n1=n1)
+
+    zero = np.int32(0)
+
+    def data_map(l, bb, *_):
+        return (bb, l, zero, zero)
+
+    def tw_map(l, bb, lm_ref, *_):
+        return (lm_ref[l], zero, zero)
+
+    data_spec = pl.BlockSpec((1, 1, n1, N2), data_map, memory_space=pltpu.VMEM)
+    s1_spec = pl.BlockSpec((1, n1, log_n1), tw_map, memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((1, N2, LOG_N2), tw_map, memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((1, N2, n1), tw_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(Lc, b),
+        in_specs=[data_spec] * len(data_refs)
+                 + [s1_spec] * 2 + [s2_spec] * 2 + [tw_spec] * 2,
+        out_specs=data_spec,
+    )
+    olo = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, Lc, n1, N2), jnp.uint32),
+        interpret=_interpret(),
+    )(*scalars, *data_refs, *tw)
+    shape = lead + (Lc, n)
+    olo = olo.reshape(shape)
+    return W64(olo, jnp.zeros_like(olo))
+
+
+def host_scale_pair32(scale, q) -> tuple:
+    """(value, shoup32) device u32 pairs from host per-limb u64 scales."""
+    q = np.asarray(q, dtype=np.uint64).reshape(-1)
+    s = np.asarray(scale, dtype=np.uint64).reshape(-1).astype(np.uint32)
+    shoup = np.array(
+        [_shoup32_host(s[i:i + 1], int(q[i]))[0] for i in range(len(q))],
+        dtype=np.uint32,
+    )
+    return jnp.asarray(s), jnp.asarray(shoup)
+
+
+def forward_ntt_sub_scale_pallas32(x, sub, tables, post2, pre2=None):
+    """q32 fused (sub - pre*NTT(x)) * post; pairs from host_scale_pair32."""
+    return _call32(x, tables.plan, tables.limb_map, forward=True,
+                   sub=sub, post2=post2, pre2=pre2)

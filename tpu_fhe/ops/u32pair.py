@@ -117,6 +117,56 @@ def mul_mod_shoup64(alo, ahi, wlo, whi, wslo, wshi, qlo, qhi, lazy=False):
     return csub64(rlo, rhi, qlo, qhi)
 
 
+# ---------------------------------------------------------------------------
+# single-word (q < 2^30) fast path: one u32 plane carries a full residue
+# ---------------------------------------------------------------------------
+
+
+def mulhi32(a, b):
+    """High 32 bits of a 32x32 product (exact, via 16-bit halves)."""
+    a0 = a & M16
+    a1 = a >> 16
+    b0 = b & M16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    mid = (ll >> 16) + (lh & M16) + (hl & M16)
+    return a1 * b1 + (lh >> 16) + (hl >> 16) + (mid >> 16)
+
+
+def csub32(x, q):
+    """Conditional subtract: [0, 2q) -> [0, q) (single u32 word)."""
+    return jnp.where(x >= q, x - q, x)
+
+
+def mul_mod_shoup32(a, w, ws, q, lazy=False):
+    """a*w mod q via Shoup against beta = 2^32: exact r in [0, 2q) for ANY
+    a < 2^32 when ws = floor(w * 2^32 / q) and 2q < 2^32.  The wrapping
+    32-bit evaluation of a*w - hi*q is exact because the true remainder
+    fits one word."""
+    hi = mulhi32(a, ws)
+    r = a * w - hi * q
+    if lazy:
+        return r
+    return csub32(r, q)
+
+
+def barrett_reduce96_32(w0, w1, w2, q, ws_one, c32, c32s, c64, c64s):
+    """(w2:w1:w0) mod q for q < 2^30: fold each 32-bit word with a Shoup
+    multiply by 2^(32k) mod q.
+
+    ws_one = floor(2^32/q) (the Shoup word of w=1: folding w0 is plain
+    32-bit Barrett), (c32, c32s) = 2^32 mod q + Shoup, (c64, c64s) =
+    2^64 mod q + Shoup.  The first two folds are reduced to [0, q) so the
+    running sum stays under 4q < 2^32."""
+    s0 = csub32(w0 - mulhi32(w0, ws_one) * q, q)
+    s1 = csub32(mul_mod_shoup32(w1, c32, c32s, q, lazy=True), q)
+    s2 = mul_mod_shoup32(w2, c64, c64s, q, lazy=True)
+    s = s0 + s1 + s2  # < 4q
+    return csub32(csub32(s, q + q), q)
+
+
 def barrett_reduce128(w0, w1, w2, w3, qlo, qhi, r0lo, r0hi, r1lo, r1hi):
     """128-bit (w3:w2:w1:w0) mod q via two-word Barrett ratio
     (r1:r0) = floor(2^128/q); mirrors modmath.barrett_reduce_u128."""
