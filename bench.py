@@ -42,7 +42,9 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     from tpu_fhe.scheme.context import FheContext
     from tpu_fhe.scheme.keys import SecretKey
 
-    bits = [60] + [data_bits] * (num_data - 1) + [60] * size_p
+    # all-limbs-under-2^30 configs engage the q32 single-word kernels
+    kb = 60 if data_bits > 30 else data_bits
+    bits = [kb] + [data_bits] * (num_data - 1) + [kb] * size_p
     t0 = time.time()
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
@@ -171,6 +173,17 @@ def main():
             break
         except Exception as e:  # noqa: BLE001
             log(f"keyswitch config {cfg} failed: {e!r}")
+
+    # secondary: the q32 (composite-scaling) regime at identical total
+    # logQ/logP — 2x 30-bit limbs, single-word butterflies (stderr only;
+    # the primary metric stays on the reference harness parameterization)
+    if rate is not None:
+        try:
+            r32 = bench_keyswitch(1 << 15, 30, 60, 30)
+            log(f"keyswitch q32 config (30-bit x 60+30): {r32:.2f} ops/s "
+                f"({r32 / rate:.2f}x the 60-bit config)")
+        except Exception as e:  # noqa: BLE001
+            log(f"q32 keyswitch bench failed: {e!r}")
     if rate is None:
         print(json.dumps({
             "metric": "keyswitch/s", "value": 0.0, "unit": "ops/s",

@@ -114,6 +114,33 @@ def test_q32_batched_lead_axis(force_pallas, monkeypatch):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_q32_bconv_mxu_matches_generic(force_pallas, monkeypatch):
+    monkeypatch.setenv("TPU_FHE_MXU_BCONV", "always")
+    from tpu_fhe.core.modulus import Modulus
+    from tpu_fhe.ops.bconv import bconv_matmul
+
+    n = 512
+    src = numth.get_primes(2048, 29, 5)
+    dst = numth.get_primes(2048, 28, 7)
+    x = w64.W64.from_np(
+        RNG.integers(0, 1 << 28, size=(2, len(src), n), dtype=np.uint64)
+        % np.asarray(src, dtype=np.uint64)[:, None]
+    )
+    mat = RNG.integers(0, 1 << 28, size=(len(dst), len(src)),
+                       dtype=np.uint64) % np.asarray(dst,
+                                                     dtype=np.uint64)[:, None]
+    p = np.asarray(dst, dtype=np.uint64).reshape(-1, 1)
+    ratios = np.array([Modulus(int(v)).const_ratio for v in dst],
+                      dtype=np.uint64)
+    rlo = ratios[:, 0:1]
+    rhi = ratios[:, 1:2]
+    got = bconv_matmul(x, mat, p, rlo, rhi, src_q32=True).to_np()
+    monkeypatch.setenv("TPU_FHE_MXU_BCONV", "never")
+    monkeypatch.setenv("TPU_FHE_PALLAS", "never")
+    ref = bconv_matmul(x, mat, p, rlo, rhi).to_np()
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_q32_key_inner_product_matches_xla(force_pallas, monkeypatch):
     import jax
 

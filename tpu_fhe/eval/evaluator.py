@@ -168,6 +168,9 @@ def modup(
     unchanged.  With is_ntt=False (BFV: coefficient-form input) the iNTT is
     skipped and the digit's own limbs are forward-transformed instead."""
     ks = level.ks
+    from ..ops.ntt_pallas import NTTPlan32
+
+    q32 = isinstance(level.ntt.plan, NTTPlan32)
     if is_ntt:
         scaled = inverse_ntt_scaled(
             c2, level.ntt, ks.part_qhatinv, ks.part_qhatinv_shoup
@@ -181,7 +184,7 @@ def modup(
         piece = scaled[dt.start:dt.end]
         conv = bconv_matmul(
             piece, dt.qhat_mod_p, dt.comp_mod.q, dt.comp_mod.ratio_lo,
-            dt.comp_mod.ratio_hi,
+            dt.comp_mod.ratio_hi, src_q32=q32,
         )
         conv_ntt = forward_ntt(conv, dt.comp_ntt)
         if is_ntt:
@@ -276,6 +279,9 @@ def moddown_from_ntt(
     subtraction happens in the coefficient domain instead."""
     ks = level.ks
     size_Ql = level.size
+    from ..ops.ntt_pallas import NTTPlan32
+
+    q32 = isinstance(level.ntt.plan, NTTPlan32)
     if ctx.scheme == SchemeType.bgv:
         # t-preserving subtraction (reference bgv_moddown_kernel): delta =
         # t*U with U = [x * t^{-1}]_P, so delta = x (mod P) and 0 (mod t);
@@ -286,7 +292,7 @@ def moddown_from_ntt(
         )
         delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
-            level.mod.ratio_hi,
+            level.mod.ratio_hi, src_q32=q32,
         )
         pre, pre_shoup = ks.t_mod_q, ks.t_mod_q_shoup
     else:
@@ -295,7 +301,7 @@ def moddown_from_ntt(
         )
         delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
-            level.mod.ratio_hi,
+            level.mod.ratio_hi, src_q32=q32,
         )
         pre = pre_shoup = None
     if output_ntt:

@@ -42,12 +42,16 @@ def bconv_scale(x, qhatinv, qhatinv_shoup, q) -> W64:
     return w64.mul_mod_shoup(x, qhatinv, qhatinv_shoup, q)
 
 
-def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
+def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi,
+                 src_q32: bool = False) -> W64:
     """Accumulate scaled residues into the output base.
 
     scaled:      (..., k, N) W64, already multiplied by qhat_inv
     qhat_mod_p:  (m, k) uint64 table [p_j][q_i]
     p, ratios:   (m, 1) output moduli and Barrett ratios
+    src_q32:     caller guarantees every residue in `scaled` is < 2^30
+                 (q32 contexts); with p also < 2^30 the halved digit-plane
+                 kernel engages
     returns      (..., m, N) W64 = BEHZ fast conversion (with alpha*Q
                  overshoot, exactly as the reference's bConv_BEHZ).
     """
@@ -75,6 +79,12 @@ def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi) -> W64:
         # form keeps the s32 diagonal tensor in VMEM; the XLA form is the
         # fallback for ragged N.
         if n % LANES == 0:
+            if src_q32 and int(qhat_mod_p.max()) < (1 << 30):
+                from ..utils.device import host_np
+                from .bconv_mxu_pallas import bconv_matmul_mxu_pallas32
+
+                if int(host_np(p, dtype=np.uint64).max()) < (1 << 30):
+                    return bconv_matmul_mxu_pallas32(scaled, qhat_mod_p, p)
             from .bconv_mxu_pallas import bconv_matmul_mxu_pallas
 
             return bconv_matmul_mxu_pallas(

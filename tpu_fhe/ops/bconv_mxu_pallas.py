@@ -140,6 +140,139 @@ def _col(v, k_out) -> np.ndarray:
     return np.asarray(v, dtype=np.uint64).reshape(k_out, 1)
 
 
+# ---------------------------------------------------------------------------
+# q32 variant: all values < 2^30 -> 4 digit planes, 7 diagonals, 96-bit
+# reassembly, word-fold Barrett landing (u32.barrett_reduce96_32)
+# ---------------------------------------------------------------------------
+
+N_PLANES_32 = 4
+N_DIAG_32 = 2 * N_PLANES_32 - 1
+
+
+@lru_cache(maxsize=None)
+def _diag_matrix_jk32(m_bytes: bytes, k_out: int, k_in: int, k_out_pad: int):
+    """A[(s, p_pad), (j, k)] = Mdig_{s-j}[p, k] (int8) over 4 planes."""
+    m = np.frombuffer(m_bytes, dtype=np.uint64).reshape(k_out, k_in)
+    mdig = _balanced_digits_host(m)[:N_PLANES_32]  # planes 4..7 are zero
+    a = np.zeros((N_DIAG_32, k_out_pad, N_PLANES_32, k_in), dtype=np.int8)
+    for s in range(N_DIAG_32):
+        for j in range(N_PLANES_32):
+            i = s - j
+            if 0 <= i < N_PLANES_32:
+                a[s, :k_out, j, :] = mdig[i]
+    return a.reshape(N_DIAG_32 * k_out_pad, N_PLANES_32 * k_in)
+
+
+def _extract_digits32(xl):
+    """(k, nT) u32 (< 2^30) -> (4k, nT) balanced s8 digits (j-major)."""
+    planes = []
+    carry = jnp.zeros_like(xl, dtype=jnp.int32)
+    for i in range(N_PLANES_32):
+        b = ((xl >> np.uint32(8 * i)) & np.uint32(0xFF)).astype(
+            jnp.int32
+        ) + carry
+        carry = (b >= 128).astype(jnp.int32)
+        planes.append((b - (carry << 8)).astype(jnp.int8))
+    return jnp.concatenate(planes, axis=0)
+
+
+def _kernel32(a_ref, q_ref, wso_ref, c32_ref, c32s_ref, c64_ref, c64s_ref,
+              x_ref, o_ref, *, k_out: int, k_out_pad: int):
+    digits = _extract_digits32(x_ref[0])
+    d = jax.lax.dot_general(
+        a_ref[...], digits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (N_DIAG_32 * k_out_pad, nT)
+
+    # diagonals s=0..3 -> signed 64-bit G0, s=4..6 -> G1; true row sum is
+    # nonneg < k_in * 2^60 < 2^96, so wrapping 96-bit accumulation is exact
+    def group(lo_s, n_s):
+        glo = ghi = None
+        for r in range(n_s):
+            ds = d[(lo_s + r) * k_out_pad: (lo_s + r) * k_out_pad + k_out]
+            tlo = ds.astype(jnp.uint32)
+            thi = (ds >> 31).astype(jnp.uint32)
+            tlo, thi = _shl64(tlo, thi, 8 * r)
+            if glo is None:
+                glo, ghi = tlo, thi
+            else:
+                glo, ghi = u32.add64(glo, ghi, tlo, thi)
+        return glo, ghi
+
+    g0lo, g0hi = group(0, 4)
+    g1lo, g1hi = group(4, 3)
+    w0 = g0lo
+    w1 = g0hi + g1lo
+    c = (w1 < g0hi).astype(jnp.uint32)
+    w2 = (g0hi.astype(jnp.int32) >> 31).astype(jnp.uint32) + g1hi + c
+
+    o_ref[0] = u32.barrett_reduce96_32(
+        w0, w1, w2, q_ref[...],
+        wso_ref[...], c32_ref[...], c32s_ref[...],
+        c64_ref[...], c64s_ref[...],
+    )
+
+
+def bconv_matmul_mxu_pallas32(scaled, qhat_mod_p, p, tile: int = DEF_TILE):
+    """q32 drop-in for bconv_matmul_mxu_pallas: every modulus and residue
+    < 2^30, residues live in the lo plane; returns W64 with zero hi."""
+    from .w64 import W64
+    from ..utils.device import host_np
+
+    m = host_np(qhat_mod_p, dtype=np.uint64)
+    k_out, k_in = m.shape
+    k_out_pad = max(8, -(-k_out // 8) * 8)
+    lead = scaled.shape[:-2]
+    n = scaled.shape[-1]
+    b = int(np.prod(lead)) if lead else 1
+    nt = min(tile, n)
+    while n % nt or nt % LANES:
+        nt -= LANES
+
+    a_big = _diag_matrix_jk32(m.tobytes(), k_out, k_in, k_out_pad)
+
+    q = host_np(p, dtype=np.uint64).reshape(-1)
+    ws_one = ((np.uint64(1) << np.uint64(32)) * np.ones_like(q)) // q
+    c32 = (np.uint64(1) << np.uint64(32)) % q
+    c64 = np.array([(1 << 64) % int(v) for v in q], dtype=np.uint64)
+    c32s = (c32 << np.uint64(32)) // q
+    c64s = (c64 << np.uint64(32)) // q
+
+    def col32(v):
+        return jnp.asarray(v.astype(np.uint32).reshape(k_out, 1))
+
+    consts = [col32(q), col32(ws_one), col32(c32), col32(c32s),
+              col32(c64), col32(c64s)]
+
+    xlo = scaled.lo.reshape(b, k_in, n)
+
+    zero = np.int32(0)
+
+    def x_map(bb, t):
+        return (bb, zero, t)
+
+    def const_map(bb, t):
+        return (zero, zero)
+
+    x_spec = pl.BlockSpec((1, k_in, nt), x_map, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, k_out, nt), x_map, memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec(a_big.shape, const_map, memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((k_out, 1), const_map, memory_space=pltpu.VMEM)
+
+    olo = pl.pallas_call(
+        partial(_kernel32, k_out=k_out, k_out_pad=k_out_pad),
+        grid=(b, n // nt),
+        in_specs=[a_spec] + [c_spec] * 6 + [x_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, k_out, n), jnp.uint32),
+        interpret=_interpret(),
+    )(jnp.asarray(a_big), *consts, xlo)
+    shape = lead + (k_out, n)
+    olo = olo.reshape(shape)
+    return W64(olo, jnp.zeros_like(olo))
+
+
 def bconv_matmul_mxu_pallas(scaled, qhat_mod_p, p, p_rlo, p_rhi,
                             tile: int = DEF_TILE):
     """Drop-in for ops.bconv.bconv_matmul (same contract as
