@@ -392,6 +392,21 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     )
 
 
+def rescale_composite(ctx: FheContext, a: Ciphertext, limbs: int = 2) -> Ciphertext:
+    """Composite-scaling rescale: divide by the product of the last `limbs`
+    primes (default 2).
+
+    The TPU-native q32 regime replaces each ~56-60-bit scale prime with a
+    PAIR of ~28-30-bit primes (single-word butterflies, see
+    ops/ntt_pallas.py q32 plan); one logical CKKS level then spans two
+    RNS limbs and a multiplication rescales by both.  Precision matches
+    the 60-bit-prime regime because the working scale is the pair product
+    (~2^56), not a single small prime."""
+    for _ in range(limbs):
+        a = rescale_to_next(ctx, a)
+    return a
+
+
 def mod_drop_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     """Drop the last limb without scaling (mod switch)."""
     if a.chain_index + 1 >= len(ctx.chain):
