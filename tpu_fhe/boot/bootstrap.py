@@ -485,6 +485,24 @@ class CkksBootstrapper:
                 keys[elt] = self.galois_keys.key_for_elt(elt)
         return keys
 
+    def _glue_jit(self, key, fn):
+        """Cached jit for the light between-stage glue (prelude, conj
+        split, recombine): each is a handful of ops, but eager dispatch
+        over a remote-TPU transport costs ~RPC-latency per op.  `key`
+        must include every closure constant the stage bakes in (slots,
+        correction, scalars); switching keys ride as jit arguments
+        (closure-captured key buffers would serialize into the compile
+        payload)."""
+        if not self._stage_jit_enabled():
+            return fn
+        f = self.__dict__.get(key)
+        if f is None:
+            import jax
+
+            f = jax.jit(fn)
+            self.__dict__[key] = f
+        return f
+
     def _sine_jit(self, coefficients: tuple[float, ...]):
         def sine(ct, mul_key):
             out = cheb.eval_chebyshev_series(
@@ -744,75 +762,122 @@ class CkksBootstrapper:
         pre_scale = 1.0 / post
         scalar = int(round(post))
 
-        # raise the modulus
-        raised = auto.mod_reduce(ctx, ct, ct.noise_scale_deg - 1) \
-            if ct.noise_scale_deg > 1 else ct
-        raised = self.adjust_ciphertext(raised, correction)
-        raised = auto.raise_mod(ctx, raised)
-
         coefficients = gen_sine_coefficients(
             self.k_bound, self.r_iters, self.poly_degree_sine
         )
         const_eval_mult = pre_scale * (1.0 / (self.k_bound * n))
-        raised = auto.mult_const(ctx, raised, const_eval_mult)
+
+        # raise the modulus (one glue program: mod-reduce, adjust, raise,
+        # pre-scale, final mod-reduce)
+        def prelude(ct_in):
+            r = auto.mod_reduce(ctx, ct_in, ct_in.noise_scale_deg - 1) \
+                if ct_in.noise_scale_deg > 1 else ct_in
+            r = self.adjust_ciphertext(r, correction)
+            r = auto.raise_mod(ctx, r)
+            r = auto.mult_const(ctx, r, const_eval_mult)
+            if slots == M // 4:
+                r = auto.mod_reduce(ctx, r, 1)
+            return r
+
+        raised = self._glue_jit(
+            ("_prelude", slots, correction, const_eval_mult), prelude
+        )(ct)
 
         if slots == M // 4:
             # ---------------- FULLY PACKED ----------------
-            raised = auto.mod_reduce(ctx, raised, 1)
             ctxt_enc = self.coeffs_to_slots(raised, slots)
 
             conj_key = self.galois_keys.key_for_elt(conj_elt(n))
-            conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
-            ctxt_enc_i = auto.eval_sub_auto(ctx, ctxt_enc, conj)
-            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
-            ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, 3 * M // 4)
 
-            if ctxt_enc.noise_scale_deg == 2:
-                ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
-                ctxt_enc_i = auto.mod_reduce(ctx, ctxt_enc_i, 1)
+            def conj_split(enc, ckey):
+                conj = ev.apply_galois_with_key(ctx, enc, conj_elt(n), ckey)
+                enc_i = auto.eval_sub_auto(ctx, enc, conj)
+                enc = auto.eval_add_auto(ctx, enc, conj)
+                enc_i = auto.mult_by_monomial(ctx, enc_i, 3 * M // 4)
+                if enc.noise_scale_deg == 2:
+                    enc = auto.mod_reduce(ctx, enc, 1)
+                    enc_i = auto.mod_reduce(ctx, enc_i, 1)
+                return enc, enc_i
+
+            ctxt_enc, ctxt_enc_i = self._glue_jit(
+                ("_conj_split",), conj_split
+            )(ctxt_enc, conj_key)
 
             # approximate mod reduction (two branches: re and im)
             sine = self._sine_jit(tuple(coefficients))
             ctxt_enc = sine(ctxt_enc, self.mul_key)
             ctxt_enc_i = sine(ctxt_enc_i, self.mul_key)
 
-            ctxt_enc_i = auto.mult_by_monomial(ctx, ctxt_enc_i, M // 4)
-            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, ctxt_enc_i)
-            ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
+            def recombine(enc, enc_i):
+                enc_i = auto.mult_by_monomial(ctx, enc_i, M // 4)
+                enc = auto.eval_add_auto(ctx, enc, enc_i)
+                enc = auto.mult_by_integer(ctx, enc, scalar)
+                return auto.mod_reduce(ctx, enc, 1)
 
-            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            ctxt_enc = self._glue_jit(("_recombine", scalar), recombine)(
+                ctxt_enc, ctxt_enc_i
+            )
             ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
         else:
             # ---------------- SPARSELY PACKED (src/bootstrap.cu:1053-1109)
             # PartialSum: project onto the subring (the raise broke the
             # stride-replicated structure)
-            gk = self.galois_keys
+            psum_steps = []
             j = 1
             while j < n // (2 * slots):
-                temp = ev.rotate(ctx, raised, j * slots, gk)
-                raised = auto.eval_add_auto(ctx, raised, temp)
+                psum_steps.append(j * slots)
                 j <<= 1
+            psum_keys = self._keys_for(psum_steps, [])
 
-            raised = auto.mod_reduce(ctx, raised, 1)
+            def partial_sum(r, keys):
+                for step in psum_steps:
+                    elt = galois_elt_from_step(step, n)
+                    temp = ev.apply_galois_with_key(ctx, r, elt, keys[elt])
+                    r = auto.eval_add_auto(ctx, r, temp)
+                return auto.mod_reduce(ctx, r, 1)
+
+            raised = self._glue_jit(
+                ("_partial_sum", slots), partial_sum
+            )(raised, psum_keys)
             ctxt_enc = self.coeffs_to_slots(raised, slots)
 
             # single real branch: the C2S plaintexts pack [re, im] pairs
             conj_key = self.galois_keys.key_for_elt(conj_elt(n))
-            conj = ev.apply_galois_with_key(ctx, ctxt_enc, conj_elt(n), conj_key)
-            ctxt_enc = auto.eval_add_auto(ctx, ctxt_enc, conj)
-            if ctxt_enc.noise_scale_deg == 2:
-                ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+
+            def conj_fold(enc, ckey):
+                conj = ev.apply_galois_with_key(ctx, enc, conj_elt(n), ckey)
+                enc = auto.eval_add_auto(ctx, enc, conj)
+                if enc.noise_scale_deg == 2:
+                    enc = auto.mod_reduce(ctx, enc, 1)
+                return enc
+
+            ctxt_enc = self._glue_jit(("_conj_fold",), conj_fold)(
+                ctxt_enc, conj_key
+            )
 
             ctxt_enc = self._sine_jit(tuple(coefficients))(
                 ctxt_enc, self.mul_key
             )
-            ctxt_enc = auto.mult_by_integer(ctx, ctxt_enc, scalar)
 
-            ctxt_enc = auto.mod_reduce(ctx, ctxt_enc, 1)
+            def post_sine(enc):
+                enc = auto.mult_by_integer(ctx, enc, scalar)
+                return auto.mod_reduce(ctx, enc, 1)
+
+            ctxt_enc = self._glue_jit(("_post_sine", scalar), post_sine)(
+                ctxt_enc
+            )
             ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
             # fold the [re, im] halves back together
-            rotated = ev.rotate(ctx, ctxt_dec, slots, self.galois_keys)
-            ctxt_dec = auto.eval_add_auto(ctx, ctxt_dec, rotated)
+            fold_elt = galois_elt_from_step(slots, n)
+            fold_key = self.galois_keys.key_for_elt(fold_elt)
+
+            def rot_fold(dec, fkey):
+                rot = ev.apply_galois_with_key(ctx, dec, fold_elt, fkey)
+                return auto.eval_add_auto(ctx, dec, rot)
+
+            ctxt_dec = self._glue_jit(("_rot_fold", slots), rot_fold)(
+                ctxt_dec, fold_key
+            )
 
         cor_factor = 1 << round(correction)
         ctxt_dec = auto.mult_by_integer(ctx, ctxt_dec, cor_factor)
