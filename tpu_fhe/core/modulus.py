@@ -17,7 +17,11 @@ USER_MOD_BIT_COUNT_MIN = 2
 USER_MOD_BIT_COUNT_MAX = 60
 POLY_MOD_DEGREE_MIN = 2
 POLY_MOD_DEGREE_MAX = 131072
-COEFF_MOD_COUNT_MAX = 64
+# The reference caps the chain at 64 primes (SEAL heritage); the q32
+# composite-scaling regime represents one ~60-bit logical level as a pair
+# of ~30-bit primes at identical total logQ, so it legitimately needs up
+# to twice the limb count.
+COEFF_MOD_COUNT_MAX = 128
 
 
 @dataclass(frozen=True)
