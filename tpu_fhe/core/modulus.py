@@ -17,11 +17,17 @@ USER_MOD_BIT_COUNT_MIN = 2
 USER_MOD_BIT_COUNT_MAX = 60
 POLY_MOD_DEGREE_MIN = 2
 POLY_MOD_DEGREE_MAX = 131072
-# The reference caps the chain at 64 primes (SEAL heritage); the q32
-# composite-scaling regime represents one ~60-bit logical level as a pair
-# of ~30-bit primes at identical total logQ, so it legitimately needs up
-# to twice the limb count.
-COEFF_MOD_COUNT_MAX = 128
+# The reference caps the chain at 64 primes (SEAL heritage,
+# defines.h:19 / encryptionparams.h:121).  We keep that cap for the
+# generic (<= 61-bit prime) regime — the 128-bit accumulators in the
+# base-conversion paths are sized for <= 64 terms of < 2^122 — and only
+# permit up to 128 primes in the q32 regime (every prime < 2^31), where
+# one ~60-bit logical level is a pair of ~30-bit primes at identical
+# total logQ and each product term is < 2^61, so even 128 terms stay
+# far below 2^128.  Deliberate divergence; recorded in PARITY.md.
+COEFF_MOD_COUNT_MAX = 64
+COEFF_MOD_COUNT_MAX_Q32 = 128
+Q32_BIT_MAX = 30
 
 
 @dataclass(frozen=True)
@@ -97,8 +103,16 @@ class CoeffModulus:
         n = poly_modulus_degree
         if n > POLY_MOD_DEGREE_MAX or n < POLY_MOD_DEGREE_MIN or n & (n - 1):
             raise ValueError("poly_modulus_degree is invalid")
-        if len(bit_sizes) > COEFF_MOD_COUNT_MAX:
-            raise ValueError("bit_sizes is invalid")
+        count_cap = (
+            COEFF_MOD_COUNT_MAX_Q32
+            if bit_sizes and max(bit_sizes) <= Q32_BIT_MAX
+            else COEFF_MOD_COUNT_MAX
+        )
+        if len(bit_sizes) > count_cap:
+            raise ValueError(
+                "bit_sizes is invalid: > 64 primes is only supported in the "
+                "q32 regime (every bit size <= 30)"
+            )
         if bit_sizes and (
             max(bit_sizes) > USER_MOD_BIT_COUNT_MAX or min(bit_sizes) < USER_MOD_BIT_COUNT_MIN
         ):

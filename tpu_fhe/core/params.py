@@ -53,6 +53,18 @@ class EncryptionParameters:
         values = [m.value for m in self.coeff_modulus]
         if len(set(values)) != len(values):
             raise ValueError("coeff modulus primes must be distinct")
+        from .modulus import COEFF_MOD_COUNT_MAX, COEFF_MOD_COUNT_MAX_Q32, Q32_BIT_MAX
+
+        cap = (
+            COEFF_MOD_COUNT_MAX_Q32
+            if all(v.bit_length() <= Q32_BIT_MAX for v in values)
+            else COEFF_MOD_COUNT_MAX
+        )
+        if len(values) > cap:
+            raise ValueError(
+                "coeff modulus chain too long: > 64 primes is only supported "
+                "in the q32 regime (every prime < 2^30)"
+            )
 
     @property
     def log_n(self) -> int:

@@ -7,8 +7,11 @@ with s[i] = [x_i * qhat_i^{-1}]_{q_i}.  The inner dimension (ibase size,
 <= ~16 for modup digits) is looped statically while the coefficient axis is
 fully vectorized; partial products accumulate in an explicit 128-bit
 (hi, lo) W64 pair, mirroring the reference's uint128 accumulation, and a
-single Barrett reduction lands each output limb.  Sum bound: terms < 2^122,
-ibase <= 64 --> < 2^128, no overflow.
+single Barrett reduction lands each output limb.  Sum bound: terms < 2^122
+(61-bit residue x 61-bit table entry), so up to 63 terms fit a 128-bit
+accumulator; longer input bases (legal only in the q32 regime, whose terms
+are < 2^61, but guarded here unconditionally) are accumulated in chunks of
+63 with a Barrett landing per chunk and a final mod-p sum.
 """
 
 from __future__ import annotations
@@ -19,6 +22,9 @@ from . import w64
 from .w64 import W64
 
 LANES = 128
+# Terms in the u128 accumulation are < 2^122, so 63 fit without overflow;
+# longer sums reduce per chunk (see module docstring).
+_ACC_CHUNK = 63
 
 
 def _mxu_enabled() -> bool:
@@ -73,41 +79,52 @@ def bconv_matmul(scaled: W64, qhat_mod_p, p, p_ratio_lo, p_ratio_hi,
         except Exception:  # traced (non-concrete) table: keep the XLA path
             pass
 
-    if (isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray)
-            and _mxu_enabled() and k < 64):
+    if isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray) and _mxu_enabled():
         # int8 digit-plane matmul on the MXU (bit-exact).  The fused Pallas
         # form keeps the s32 diagonal tensor in VMEM; the XLA form is the
-        # fallback for ragged N.
+        # fallback for ragged N.  The generic digit-plane kernels size their
+        # accumulators for k < 64; the q32 kernel is exact for any k here
+        # (row sum < k*2^60 < 2^96), so large q32 bases keep the fast path.
+        q32_kernel_ok = False
+        if src_q32 and int(qhat_mod_p.max()) < (1 << 30):
+            from ..utils.device import host_np
+
+            q32_kernel_ok = int(host_np(p, dtype=np.uint64).max()) < (1 << 30)
         if n % LANES == 0:
-            if src_q32 and int(qhat_mod_p.max()) < (1 << 30):
-                from ..utils.device import host_np
+            if q32_kernel_ok:
                 from .bconv_mxu_pallas import bconv_matmul_mxu_pallas32
 
-                if int(host_np(p, dtype=np.uint64).max()) < (1 << 30):
-                    return bconv_matmul_mxu_pallas32(scaled, qhat_mod_p, p)
-            from .bconv_mxu_pallas import bconv_matmul_mxu_pallas
+                return bconv_matmul_mxu_pallas32(scaled, qhat_mod_p, p)
+            if k < 64:
+                from .bconv_mxu_pallas import bconv_matmul_mxu_pallas
 
-            return bconv_matmul_mxu_pallas(
-                scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi
-            )
-        from .bconv_mxu import bconv_matmul_mxu
+                return bconv_matmul_mxu_pallas(
+                    scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi
+                )
+        elif k < 64:
+            from .bconv_mxu import bconv_matmul_mxu
 
-        return bconv_matmul_mxu(scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
+            return bconv_matmul_mxu(scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
 
     if (isinstance(scaled, W64) and isinstance(qhat_mod_p, np.ndarray)
-            and pallas_enabled() and n % 128 == 0 and (n // 128) % 8 == 0):
+            and pallas_enabled() and k < 64
+            and n % 128 == 0 and (n // 128) % 8 == 0):
         from .bconv_pallas import bconv_matmul_pallas
 
         return bconv_matmul_pallas(scaled, qhat_mod_p, p, p_ratio_lo, p_ratio_hi)
 
     w = w64.as_w64(qhat_mod_p)
-    acc_hi = w64.zeros(lead + (m, n))
-    acc_lo = w64.zeros(lead + (m, n))
-    for i in range(k):
-        xi = scaled[..., i:i + 1, :]               # (..., 1, N)
-        hi, lo = w64.mul_u64_full(xi, w[:, i:i + 1])
-        acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
-    return w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+    out = None
+    for c0 in range(0, k, _ACC_CHUNK):
+        acc_hi = w64.zeros(lead + (m, n))
+        acc_lo = w64.zeros(lead + (m, n))
+        for i in range(c0, min(c0 + _ACC_CHUNK, k)):
+            xi = scaled[..., i:i + 1, :]           # (..., 1, N)
+            hi, lo = w64.mul_u64_full(xi, w[:, i:i + 1])
+            acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+        part = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+        out = part if out is None else w64.add_mod(out, part, p)
+    return out
 
 
 def bconv_behz(x, qhatinv, qhatinv_shoup, q, qhat_mod_p, p, p_ratio_lo, p_ratio_hi):
@@ -135,18 +152,32 @@ def frac_alpha(s: W64, frac_hi, frac_lo) -> W64:
     n = s.shape[-1]
     fh = w64.as_w64(frac_hi)
     fl = w64.as_w64(frac_lo)
-    s1_hi = w64.zeros(lead + (1, n))
-    s1_lo = w64.zeros(lead + (1, n))
-    s2_hi = w64.zeros(lead + (1, n))
-    s2_lo = w64.zeros(lead + (1, n))
-    for i in range(k):
-        xi = s[..., i:i + 1, :]
-        hi, lo = w64.mul_u64_full(xi, fh[i:i + 1])
-        s1_hi, s1_lo = w64.add_u128(s1_hi, s1_lo, hi, lo)
-        hi, lo = w64.mul_u64_full(xi, fl[i:i + 1])
-        s2_hi, s2_lo = w64.add_u128(s2_hi, s2_lo, hi, lo)
-    # total = s1/2^64 + s2/2^128; alpha = floor(total + 1/2)
-    t_hi, t_lo = w64.add_u128(s1_hi, s1_lo, w64.zeros_like(s2_hi), s2_hi)
+    zero = w64.zeros(lead + (1, n))
+    # s1 = sum x_i*frac_hi_i is bounded by the contract (true fractional
+    # sum < 2^64 -> s1 <= sum x_i*frac_i*2^64 < 2^128), but
+    # S2 = sum x_i*frac_lo_i is NOT: frac_lo is the low word of the
+    # fraction, ~uniform in [0, 2^64) for arbitrary fraction tables
+    # (e.g. the t*QHatInv/q scale-and-round fractions), so S2 can exceed
+    # 2^128 from ~16 limbs of 61-bit residues on.  Accumulate S2 in
+    # chunks of 7 terms (7 * 2^125 < 2^128, exact) and fold each chunk's
+    # words into two 128-bit accumulators: S2 = fold*2^64 + rem exactly.
+    s1_hi, s1_lo = zero, zero
+    fold_hi, fold_lo = zero, zero     # sum of chunk high words
+    rem_hi, rem_lo = zero, zero       # sum of chunk low words
+    for c0 in range(0, k, 7):
+        c_hi, c_lo = zero, zero
+        for i in range(c0, min(c0 + 7, k)):
+            xi = s[..., i:i + 1, :]
+            hi, lo = w64.mul_u64_full(xi, fh[i:i + 1])
+            s1_hi, s1_lo = w64.add_u128(s1_hi, s1_lo, hi, lo)
+            hi, lo = w64.mul_u64_full(xi, fl[i:i + 1])
+            c_hi, c_lo = w64.add_u128(c_hi, c_lo, hi, lo)
+        fold_hi, fold_lo = w64.add_u128(fold_hi, fold_lo, zero, c_hi)
+        rem_hi, rem_lo = w64.add_u128(rem_hi, rem_lo, zero, c_lo)
+    # floor(S2 / 2^64) = fold + floor(rem / 2^64) = fold + rem_hi (exact)
+    s2_hi, s2_lo = w64.add_u128(fold_hi, fold_lo, zero, rem_hi)
+    # total = s1/2^64 + S2/2^128; alpha = floor(total + 1/2)
+    t_hi, t_lo = w64.add_u128(s1_hi, s1_lo, s2_hi, s2_lo)
     half = w64.full_like_scalar(t_lo.shape, 1 << 63)
     t_hi, _ = w64.add_u128(t_hi, t_lo, w64.zeros_like(t_hi), half)
     return t_hi
@@ -203,15 +234,20 @@ def scale_and_round_hps(x_a: W64, x_b: W64, cross, diag, frac_hi, frac_lo,
         out = bconv_matmul(x_ext, ext, p, p_ratio_lo, p_ratio_hi)
     else:
         cw = w64.as_w64(host_np(cross, dtype=np.uint64))
-        acc_hi = w64.zeros(lead + (m, n))
-        acc_lo = w64.zeros(lead + (m, n))
-        for i in range(k):
-            xi = x_a[..., i:i + 1, :]
-            hi, lo = w64.mul_u64_full(xi, cw[:, i:i + 1])
-            acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
-        hi, lo = w64.mul_u64_full(x_b, w64.as_w64(host_np(diag, dtype=np.uint64)))
-        acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
-        out = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+        out = None
+        for c0 in range(0, k, _ACC_CHUNK - 1):
+            acc_hi = w64.zeros(lead + (m, n))
+            acc_lo = w64.zeros(lead + (m, n))
+            for i in range(c0, min(c0 + _ACC_CHUNK - 1, k)):
+                xi = x_a[..., i:i + 1, :]
+                hi, lo = w64.mul_u64_full(xi, cw[:, i:i + 1])
+                acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+            if c0 == 0:
+                hi, lo = w64.mul_u64_full(
+                    x_b, w64.as_w64(host_np(diag, dtype=np.uint64)))
+                acc_hi, acc_lo = w64.add_u128(acc_hi, acc_lo, hi, lo)
+            part = w64.barrett_reduce_u128(acc_hi, acc_lo, p, p_ratio_lo, p_ratio_hi)
+            out = part if out is None else w64.add_mod(out, part, p)
     alpha = frac_alpha(x_a, frac_hi, frac_lo)
     alpha_mod = w64.barrett_reduce_u64(alpha, p, p_ratio_hi)
     return w64.add_mod(out, w64.broadcast_to(alpha_mod, out.shape), p)
