@@ -231,9 +231,23 @@ def key_inner_product(
             _np.arange(size_Q, evk.shape[2], dtype=_np.int32),
         ])
         if isinstance(level.ntt.plan, NTTPlan32):
+            if key.shoup is not None:
+                # Shoup-form key: one lazy Shoup32 multiply per digit,
+                # plain u32 accumulator (ops/ks_pallas.py)
+                from ..ops.ks_pallas import key_inner_prod_shoup_pallas32
+
+                return key_inner_prod_shoup_pallas32(
+                    t_mod_up[:beta], evk, key.shoup, limb_map, q.reshape(-1)
+                )
             # q32 context: single-word residues, 96-bit digit accumulator
             return key_inner_prod_pallas32(
                 t_mod_up[:beta], evk, limb_map, q.reshape(-1)
+            )
+        if key.shoup is not None:
+            from ..ops.ks_pallas import key_inner_prod_shoup_pallas
+
+            return key_inner_prod_shoup_pallas(
+                t_mod_up[:beta], evk, key.shoup, limb_map, q.reshape(-1)
             )
         return key_inner_prod_pallas(
             t_mod_up[:beta], evk, limb_map,

@@ -113,6 +113,172 @@ def _kernel32(lm_ref, q_ref, wso_ref, c32_ref, c32s_ref, c64_ref, c64s_ref,
         o_ref[c, 0] = u32.barrett_reduce96_32(*acc, q, *args)
 
 
+def _kernel_shoup(lm_ref, qlo_ref, qhi_ref,
+                  tlo_ref, thi_ref, klo_ref, khi_ref, kslo_ref, kshi_ref,
+                  olo_ref, ohi_ref, *, beta: int):
+    """Shoup-form variant: the evk carries precomputed Shoup companions, so
+    each digit product is one lazy Shoup multiply to [0, 2q) and the digit
+    sum runs in a plain 64-bit accumulator (csub per add) — no 128-bit MAC
+    chain and no Barrett landing.  Bit-identical output to _kernel."""
+    l = pl.program_id(0)
+    qlo = qlo_ref[l]
+    qhi = qhi_ref[l]
+    q2lo = qlo + qlo
+    q2hi = qhi + qhi + (q2lo < qlo).astype(jnp.uint32)
+
+    for c in range(2):
+        acc = None
+        for d in range(beta):
+            vl, vh = u32.mul_mod_shoup64(
+                tlo_ref[d, 0], thi_ref[d, 0],
+                klo_ref[d, c, 0], khi_ref[d, c, 0],
+                kslo_ref[d, c, 0], kshi_ref[d, c, 0],
+                qlo, qhi, lazy=True)                     # [0, 2q)
+            if acc is None:
+                acc = (vl, vh)
+            else:
+                sl, sh = u32.add64(acc[0], acc[1], vl, vh)   # < 4q < 2^63
+                acc = u32.csub64(sl, sh, q2lo, q2hi)         # [0, 2q)
+        olo, ohi = u32.csub64(acc[0], acc[1], qlo, qhi)      # [0, q)
+        olo_ref[c, 0] = olo
+        ohi_ref[c, 0] = ohi
+
+
+def _kernel32_shoup(lm_ref, q_ref, t_ref, k_ref, ks_ref, o_ref, *, beta: int):
+    """q32 Shoup-form variant: single-word residues, one lazy Shoup32
+    multiply per digit, plain u32 accumulator (sums < 4q < 2^32)."""
+    l = pl.program_id(0)
+    q = q_ref[l]
+    q2 = q + q
+    for c in range(2):
+        acc = None
+        for d in range(beta):
+            v = u32.mul_mod_shoup32(
+                t_ref[d, 0], k_ref[d, c, 0], ks_ref[d, c, 0], q, lazy=True)
+            acc = v if acc is None else u32.csub32(acc + v, q2)
+        o_ref[c, 0] = u32.csub32(acc, q)
+
+
+def key_inner_prod_shoup_pallas(t, evk, evk_shoup, limb_map, q_words):
+    """Shoup-form inner product: evk_shoup = floor(evk * 2^64 / q) per limb
+    (same shape as evk).  Returns W64 (2, L, N), bit-identical to
+    key_inner_prod_pallas."""
+    from .w64 import W64
+
+    beta, L, n = t.shape
+    rows = n // LANES
+
+    def planes(x):
+        return x.reshape(x.shape[:-1] + (rows, LANES))
+
+    tlo, thi = planes(t.lo), planes(t.hi)
+    klo, khi = planes(evk.lo), planes(evk.hi)
+    kslo, kshi = planes(evk_shoup.lo), planes(evk_shoup.hi)
+
+    q = np.asarray(q_words, dtype=np.uint64).reshape(-1)
+    qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    lm = jnp.asarray(limb_map, dtype=jnp.int32)
+    scalars = [lm, qlo, qhi]
+
+    # per grid step: t 2 + evk 4 + shoup 4 planes per digit + 4 out planes
+    budget = 6 << 20
+    rb = max(8, budget // (LANES * 4 * (10 * beta + 4)) // 8 * 8)
+    rb = min(rb, rows)
+    while rows % rb:
+        rb -= 8
+
+    zero = np.int32(0)
+
+    def t_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    def k_map(l, r, lm_ref, *_):
+        return (zero, zero, lm_ref[l], r, zero)
+
+    def o_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    t_spec = pl.BlockSpec((beta, 1, rb, LANES), t_map, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (beta, 2, 1, rb, LANES), k_map, memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec((2, 1, rb, LANES), o_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(L, rows // rb),
+        in_specs=[t_spec, t_spec, k_spec, k_spec, k_spec, k_spec],
+        out_specs=[o_spec, o_spec],
+    )
+    out_shape = [jax.ShapeDtypeStruct((2, L, rows, LANES), jnp.uint32)] * 2
+    olo, ohi = pl.pallas_call(
+        partial(_kernel_shoup, beta=beta),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*scalars, tlo, thi, klo, khi, kslo, kshi)
+    return W64(olo.reshape(2, L, n), ohi.reshape(2, L, n))
+
+
+def key_inner_prod_shoup_pallas32(t, evk, evk_shoup32, limb_map, q_words):
+    """q32 Shoup-form inner product: evk_shoup32 = floor(evk * 2^32 / q) as
+    a u32 plane of the same shape as evk.lo."""
+    from .w64 import W64
+
+    beta, L, n = t.shape
+    rows = n // LANES
+
+    def planes(x):
+        return x.reshape(x.shape[:-1] + (rows, LANES))
+
+    tlo = planes(t.lo)
+    klo = planes(evk.lo)
+    kslo = planes(evk_shoup32)
+
+    q = np.asarray(q_words, dtype=np.uint64).reshape(-1)
+    lm = jnp.asarray(limb_map, dtype=jnp.int32)
+    scalars = [lm, jnp.asarray(q.astype(np.uint32))]
+
+    budget = 6 << 20
+    rb = max(8, budget // (LANES * 4 * (5 * beta + 2)) // 8 * 8)
+    rb = min(rb, rows)
+    while rows % rb:
+        rb -= 8
+
+    zero = np.int32(0)
+
+    def t_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    def k_map(l, r, lm_ref, *_):
+        return (zero, zero, lm_ref[l], r, zero)
+
+    def o_map(l, r, lm_ref, *_):
+        return (zero, l, r, zero)
+
+    t_spec = pl.BlockSpec((beta, 1, rb, LANES), t_map, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (beta, 2, 1, rb, LANES), k_map, memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec((2, 1, rb, LANES), o_map, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(L, rows // rb),
+        in_specs=[t_spec, k_spec, k_spec],
+        out_specs=o_spec,
+    )
+    olo = pl.pallas_call(
+        partial(_kernel32_shoup, beta=beta),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, L, rows, LANES), jnp.uint32),
+        interpret=_interpret(),
+    )(*scalars, tlo, klo, kslo)
+    olo = olo.reshape(2, L, n)
+    return W64(olo, jnp.zeros_like(olo))
+
+
 def key_inner_prod_pallas32(t, evk, limb_map, q_words):
     """q32 inner product: t (beta, L, N) and evk (dnum, 2, size_QP, N) carry
     residues < 2^30 in their lo planes; returns W64 (2, L, N) with zero hi.

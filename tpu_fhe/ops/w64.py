@@ -331,3 +331,43 @@ def mul_mod(a, b, q, ratio_lo, ratio_hi) -> W64:
     """a*b mod q via full product + Barrett (both operands variable)."""
     hi, lo = mul_u64_full(a, b)
     return barrett_reduce_u128(hi, lo, q, ratio_lo, ratio_hi)
+
+
+def shoup_of(w, q, ratio_lo, ratio_hi) -> W64:
+    """Exact floor(w * 2^64 / q) on device for w < q (the Shoup companion
+    word of a device-resident multiplier, e.g. evaluation-key limbs).
+
+    Uses the Barrett ratio r = floor(2^128/q) = (ratio_hi : ratio_lo):
+    e = floor(w*r / 2^64) = w*ratio_hi + mulhi(w, ratio_lo) is the true
+    value or one less (w*rem/(q*2^64) < 1 with rem = 2^128 mod q), so one
+    correction step decides: e+1 is right iff (e+1)*q <= w*2^64."""
+    w, q = as_w64(w), as_w64(q)
+    e = add(mul_u64_lo(w, ratio_hi), mul_u64_hi(w, ratio_lo))
+    one = full_like_scalar(e.shape, 1)
+    e1 = add(e, one)
+    p_hi, p_lo = mul_u64_full(e1, q)
+    # (p_hi : p_lo) <= (w : 0)  <=>  p_hi < w  or  (p_hi == w and p_lo == 0)
+    cond = gt(w, p_hi) | (eq(p_hi, w) & is_zero(p_lo))
+    return where(cond, e1, e)
+
+
+def shoup32_of(w32, q_vals: np.ndarray):
+    """Exact floor(w * 2^32 / q) as a u32 array, for device-resident w < q
+    with q < 2^30 (the q32 Shoup companion of evaluation-key limbs).
+
+    w32: uint32 array (..., k, N); q_vals: host (k,) or (k, 1) uint64.
+    Same estimate-and-correct scheme as shoup_of with the 96-bit ratio
+    r = floor(2^96/q): e = floor(w*r/2^64) is exact or one less."""
+    q_host = np.asarray(q_vals, dtype=np.uint64).reshape(-1, 1)
+    r = np.array([(1 << 96) // int(v) for v in q_host[:, 0]], dtype=object)
+    r_hi = np.array([int(v) >> 64 for v in r], dtype=np.uint64).reshape(-1, 1)
+    r_lo = np.array(
+        [int(v) & 0xFFFFFFFFFFFFFFFF for v in r], dtype=np.uint64
+    ).reshape(-1, 1)
+    w = W64(w32, jnp.zeros_like(w32))
+    e = add(mul_u64_lo(w, as_w64(r_hi)), mul_u64_hi(w, as_w64(r_lo)))
+    e1 = add(e, full_like_scalar(e.shape, 1))
+    p_hi, p_lo = mul_u64_full(e1, as_w64(q_host))
+    w32_shifted = W64(jnp.zeros_like(w32), w32)         # value w * 2^32
+    cond = is_zero(p_hi) & geq(w32_shifted, p_lo)
+    return where(cond, e1, e).lo

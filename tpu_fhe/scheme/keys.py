@@ -46,16 +46,25 @@ class PublicKey:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class RelinKey:
-    """Hybrid KS key: data[d] = (b_d, a_d) at key level, d < dnum."""
+    """Hybrid KS key: data[d] = (b_d, a_d) at key level, d < dnum.
+
+    shoup (optional) holds precomputed Shoup companion words of every key
+    limb — floor(data * 2^64 / q) as a same-shaped W64, or, in the q32
+    regime, floor(data * 2^32 / q) as a uint32 array — letting the
+    keyswitch inner product run one lazy Shoup multiply per digit instead
+    of a 128-bit MAC chain + Barrett landing (ops/ks_pallas.py).  Doubles
+    the key's HBM footprint, so it is on by default only for relin keys
+    (one per context); rotation-key sets opt in via galois_key(shoup=True)."""
 
     data: "W64"  # (dnum, 2, size_QP, N)
+    shoup: "W64 | jnp.ndarray | None" = None
 
     def tree_flatten(self):
-        return (self.data,), None
+        return (self.data, self.shoup), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        return cls(*children)
 
 
 @dataclass(frozen=True)
@@ -134,7 +143,8 @@ class SecretKey:
         return w64.stack([b, a])
 
     def _kswitch_key(
-        self, target_ntt: "W64", under_ntt: "W64 | None" = None
+        self, target_ntt: "W64", under_ntt: "W64 | None" = None,
+        shoup: bool = False,
     ) -> RelinKey:
         """Key-switching key: digit d = Enc_{under}(P * target * 1_{digit d}).
 
@@ -150,7 +160,29 @@ class SecretKey:
         size_Q = ctx.params.size_Q
         dnum = (size_Q + size_P - 1) // size_P
         rng_keys = jax.random.split(self._fresh_key(), dnum)
-        return RelinKey(self._kswitch_jit(rng_keys, target_ntt, under_ntt))
+        data = self._kswitch_jit(rng_keys, target_ntt, under_ntt)
+        return RelinKey(data, self._evk_shoup(data) if shoup else None)
+
+    def _evk_shoup(self, data: "W64"):
+        """Shoup companion planes for a switching key's limbs, computed on
+        device (q32 plan: floor(w*2^32/q) u32; else floor(w*2^64/q) W64)."""
+        ctx = self.context
+        kl = ctx.key_level
+        from ..ops.ntt_pallas import NTTPlan32
+
+        fn = self.__dict__.get("_evk_shoup_jit")
+        if fn is None:
+            if isinstance(kl.ntt.plan, NTTPlan32):
+                q_host = np.array(
+                    [m.value for m in ctx.key_modulus], dtype=np.uint64
+                )
+                fn = jax.jit(lambda d: w64.shoup32_of(d.lo, q_host))
+            else:
+                fn = jax.jit(lambda d: w64.shoup_of(
+                    d, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi
+                ))
+            self._evk_shoup_jit = fn
+        return fn(data)
 
     def _kswitch_impl(self, rng_keys, target_ntt: "W64", under_ntt: "W64") -> "W64":
         ctx = self.context
@@ -182,16 +214,22 @@ class SecretKey:
             keys.append(pk)
         return w64.stack(keys)
 
-    def relin_key(self) -> RelinKey:
+    def relin_key(self, shoup: bool = True) -> RelinKey:
+        """The relinearization key; `shoup` (default on) attaches Shoup
+        companion planes so relin rides the cheap inner-product kernel
+        (2x the key's HBM at one key per context)."""
         kl = self.context.key_level
         s2 = jax.jit(
             lambda s: mm.mul_mod(s, s, kl.mod.q, kl.mod.ratio_lo, kl.mod.ratio_hi)
         )(self.s_ntt)
-        return self._kswitch_key(s2)
+        return self._kswitch_key(s2, shoup=shoup)
 
-    def galois_key(self, steps: list[int], include_conj: bool = False) -> GaloisKey:
+    def galois_key(self, steps: list[int], include_conj: bool = False,
+                   shoup: bool = False) -> GaloisKey:
         """Switching keys for rotations by the given slot steps (fused:
-        one key per automorphism element, as EvalAtIndexKeyGen)."""
+        one key per automorphism element, as EvalAtIndexKeyGen).  `shoup`
+        doubles every key's HBM footprint for a faster inner product —
+        default off because rotation-key sets dominate HBM at large N."""
         ctx = self.context
         n = ctx.n
         elts = [galois_elt_from_step(s, n) for s in steps]
@@ -199,16 +237,16 @@ class SecretKey:
             elts.append(2 * n - 1)
         keys = {}
         for elt in set(elts):
-            keys[elt] = self._galois_key_for_elt(elt)
+            keys[elt] = self._galois_key_for_elt(elt, shoup=shoup)
         return GaloisKey(keys)
 
-    def _galois_key_for_elt(self, elt: int) -> RelinKey:
+    def _galois_key_for_elt(self, elt: int, shoup: bool = False) -> RelinKey:
         """Fused-form key: Enc_{sigma_elt^{-1}(s)}(P*s); rotation then
         key-switches the unrotated c1 and applies sigma_elt to the output."""
         n = self.context.n
         inv_elt = pow(elt, -1, 2 * n)
         s_inv_rot = apply_galois_ntt(self.s_ntt, inv_elt, n)
-        return self._kswitch_key(self.s_ntt, under_ntt=s_inv_rot)
+        return self._kswitch_key(self.s_ntt, under_ntt=s_inv_rot, shoup=shoup)
 
     # -- encryption -------------------------------------------------------
     def encrypt_symmetric(self, pt: Plaintext) -> Ciphertext:
