@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--size-p", type=int, default=0,
                     help="special-modulus limb count override (larger P = "
                          "fewer KS digits = smaller rotation keys)")
+    ap.add_argument("--q32", action="store_true",
+                    help="composite-scaling q32 regime: one logical level "
+                         "= a pair of ~28-bit primes, every kernel single-"
+                         "word (the TPU-native parameter regime; ~2x the "
+                         "60-bit-prime kernel throughput)")
     ap.add_argument("--eager", action="store_true",
                     help="drive the eager per-op path instead of the "
                          "single-program jitted bootstrap")
@@ -106,18 +111,36 @@ def main():
     # P covering half of Q => dnum = 2 hybrid-KS digits: rotation keys are
     # (dnum * 2 * size_QP) limb planes each, and key memory dominates HBM
     # at logn >= 15
-    size_p = args.size_p or max(2, -(-(depth + 1) // 2))
-    bits = [60] + [59] * depth + [60] * size_p
-    params = EncryptionParameters(
-        scheme=SchemeType.ckks,
-        poly_modulus_degree=n,
-        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
-        special_modulus_size=size_p,
-    )
+    if args.q32:
+        # composite scaling: 2x (depth+1) data limbs at the same total logQ
+        # as the 60-bit chain; P sized for dnum=2 hybrid-KS digits
+        size_p = args.size_p or (depth + 1)
+        mods = CoeffModulus.create_composite(
+            n, 56, depth, degree=2, anchor_bits=30,
+            special_bits=30, special_count=size_p,
+        )
+        nlimbs = len(mods)
+        params = EncryptionParameters(
+            scheme=SchemeType.ckks,
+            poly_modulus_degree=n,
+            coeff_modulus=tuple(mods),
+            special_modulus_size=size_p,
+            composite_degree=2,
+        )
+    else:
+        size_p = args.size_p or max(2, -(-(depth + 1) // 2))
+        bits = [60] + [59] * depth + [60] * size_p
+        nlimbs = len(bits)
+        params = EncryptionParameters(
+            scheme=SchemeType.ckks,
+            poly_modulus_degree=n,
+            coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+            special_modulus_size=size_p,
+        )
     ctx = FheContext(params)
     enc = CkksEncoder(ctx)
-    print(f"[context] N={n}, {len(bits)} limbs "
-          f"(Q={depth+1}, P={size_p}) ({time.time()-t0:.1f}s)")
+    print(f"[context] N={n}, {nlimbs} limbs "
+          f"(Q={nlimbs - size_p}, P={size_p}) ({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     sk = SecretKey(ctx, key=2024)
@@ -138,10 +161,12 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.uniform(-0.8, 0.8, slots)
     ct = sk.encrypt_symmetric(enc.encode(x, sf[0], slots=slots))
-    while ctx.level(ct.chain_index).size > 2:
+    min_limbs = 2 * (2 if args.q32 else 1)
+    while ctx.level(ct.chain_index).size > min_limbs:
         ct = ev.mod_drop_to_next(ctx, ct)
+    cd = 2 if args.q32 else 1
     print(f"[input] levels before bootstrap: "
-          f"{len(ctx.chain) - 1 - ct.chain_index}")
+          f"{(len(ctx.chain) - 1 - ct.chain_index) // cd}")
 
     for rep in range(args.repeat):
         t0 = time.time()
@@ -154,7 +179,7 @@ def main():
             print(f"[bootstrap] call {rep}: {dt:.1f}s")
     got = enc.decode(sk.decrypt(out), slots=slots).real
     prec = compute_bit_precision(got, x)
-    levels_after = len(ctx.chain) - 1 - out.chain_index
+    levels_after = (len(ctx.chain) - 1 - out.chain_index) // cd
     print(f"[bootstrap] {dt:.1f}s, precision={prec:.1f} bits, "
           f"levels after={levels_after}")
     assert prec > 10, "bootstrap precision too low"

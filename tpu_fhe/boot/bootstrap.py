@@ -128,14 +128,28 @@ class CkksBootstrapper:
         ksi = np.exp(2j * math.pi * np.arange(m + 1) / m)
         ksi[m] = ksi[0]
 
-        q0 = float(ctx.q_values[0])
-        factor = 1 << int(round(math.log2(q0)))
-        pre_scale = q0 / factor
+        q0 = self._anchor_product()
+        # The Chebyshev-sine argument must advance by EXACTLY 1 per q0
+        # overflow.  The net per-unit factor through prelude + C2S is
+        # (q0 * 2^-deg / sf[0]) * scale_enc, so the exact correction is
+        # scale_enc = sf[0] * 2^deg / q0.  The reference instead folds
+        # pre = q0 / 2^round(log2 q0) (src/bootstrap.cu:110-117), which
+        # equals this only when q0 and sf[0] are within float-eps of
+        # powers of two — true for its 59/60-bit prime chains, ~1e-2 off
+        # in composite scaling where q0 and the scale are PRODUCTS of
+        # ~30-bit primes; that error shifts every q0-multiple by a
+        # fraction of a sine period and destroys the bootstrap.
+        sf_ladder, _ = auto.scaling_factors(ctx)
+        pow_p = 2.0 ** round(math.log2(sf_ladder[0]))
+        deg_pow = round(math.log2(q0 / pow_p))
+        pre_scale = sf_ladder[0] * (2.0 ** deg_pow) / q0
         scale_enc = pre_scale / 1.0
         scale_dec = 1.0 / pre_scale
 
         depth_bt = self.get_bootstrap_depth((budget[0], budget[1]))
-        L0 = ctx.params.size_Q
+        # logical-level accounting: one BSGS level consumes one logical
+        # level = composite_degree limbs (classic regime: one limb)
+        L0 = ctx.params.size_Q // auto.composite_degree(ctx)
         l_enc = L0 - budget[0] - 1
         l_dec = L0 - depth_bt
 
@@ -147,6 +161,15 @@ class CkksBootstrapper:
         )
 
     # ------------------------------------------------------------------
+    def _anchor_product(self) -> float:
+        """q0 of the reference generalized to composite scaling: the
+        product of the anchor logical level's primes."""
+        d = auto.composite_degree(self.ctx)
+        prod = 1.0
+        for v in self.ctx.q_values[:d]:
+            prod *= float(v)
+        return prod
+
     def _encode_ext_many(self, entries, scale_val, chain_index):
         """Encode [(idx, vec)] via the batched encoder path (chunked to
         bound host staging memory)."""
@@ -184,18 +207,19 @@ class CkksBootstrapper:
         stop = 0 if rem else -1
         flag_rem = 1 if rem else 0
 
-        towers_to_drop = 0
+        d = auto.composite_degree(ctx)
+        towers_to_drop = 0  # logical levels below the full chain
         chain_idx = 1
         if L != 0:
-            towers_to_drop = ctx.params.size_Q - L - level_budget
-        chain_idx += towers_to_drop
+            towers_to_drop = ctx.params.size_Q // d - L - level_budget
+        chain_idx += towers_to_drop * d
         level0 = towers_to_drop + level_budget - 1
 
         chain_vector = [0] * (level_budget - stop)
         ci = chain_idx
         for s in range(level_budget - 1, stop - 1, -1):
             chain_vector[s - stop] = ci
-            ci += 1
+            ci += d
 
         coeff = bm.coeff_encoding_collapse(ksi, rot_group, level_budget, flag_i)
         coeff_i = (
@@ -269,14 +293,17 @@ class CkksBootstrapper:
         b_rem, g_rem = p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
         flag_rem = 1 if rem else 0
 
-        towers_to_drop = 0
+        d = auto.composite_degree(ctx)
+        towers_to_drop = 0  # logical levels below the full chain
         chain_idx = 1
         if L != 0:
-            towers_to_drop = ctx.params.size_Q - L - level_budget
-        chain_idx += towers_to_drop
+            towers_to_drop = ctx.params.size_Q // d - L - level_budget
+        chain_idx += towers_to_drop * d
         level0 = towers_to_drop
 
-        chain_vector = [chain_idx + s for s in range(level_budget - flag_rem + 1)]
+        chain_vector = [
+            chain_idx + d * s for s in range(level_budget - flag_rem + 1)
+        ]
 
         coeff = bm.coeff_decoding_collapse(ksi, rot_group, level_budget, flag_i)
         coeff_i = (
@@ -420,7 +447,7 @@ class CkksBootstrapper:
         source_sf = ct.scale
         level = ctx.level(ct.chain_index)
         num_towers = level.size
-        mod_to_drop = float(ctx.q_values[num_towers - 1])
+        mod_to_drop = auto.level_group_product(ctx, num_towers)
         adjustment = (
             (target_sf / source_sf) * (mod_to_drop / source_sf)
             * math.pow(2.0, -correction)
@@ -734,7 +761,8 @@ class CkksBootstrapper:
             if boot_size_q <= init_size_q:
                 return ct
             ct_down = auto.mod_switch_level(
-                ctx, ct_init_up, boot_size_q - init_size_q
+                ctx, ct_init_up,
+                (boot_size_q - init_size_q) // auto.composite_degree(ctx),
             )
             ct_err = auto.eval_sub_auto(ctx, ct_down, ct_scaled_up)
             ct_err_boot = self.eval_bootstrap(ct_err, slots, 1, 0)
@@ -742,15 +770,20 @@ class CkksBootstrapper:
             final = auto.eval_sub_auto(ctx, ct_init_up, ct_err_boot)
             return auto.mult_const(ctx, final, 1.0 / power)
 
-        if ctx.level(ct.chain_index).size < 2:
+        d = auto.composite_degree(ctx)
+        if ctx.level(ct.chain_index).size < 2 * d:
             raise ValueError(
-                "bootstrap input must keep at least 2 towers: "
+                "bootstrap input must keep at least 2 logical levels: "
                 "AdjustCiphertext rescales once before RaiseMod "
                 "(reference inputs are down-leveled to >= 2 limbs)"
             )
         pre = self.precom[slots]
-        q0 = float(ctx.q_values[0])
-        pow_p = 2.0 ** 59
+        q0 = self._anchor_product()
+        # the reference hard-codes pow_p = 2^59 (its harnesses always use
+        # 59-bit data primes); generalize to the working scale's magnitude
+        # so composite anchors (~2^56 pair products) work unchanged
+        sf0, _ = auto.scaling_factors(ctx)
+        pow_p = 2.0 ** round(math.log2(sf0[0]))
         deg = round(math.log2(q0 / pow_p))
         if deg > self.correction_factor:
             raise ValueError(

@@ -130,6 +130,89 @@ class CoeffModulus:
         return result
 
 
+    @staticmethod
+    def create_composite(
+        poly_modulus_degree: int,
+        scale_bits: int,
+        levels: int,
+        degree: int = 2,
+        anchor_bits: int = 30,
+        special_bits: int = 30,
+        special_count: int = 2,
+    ) -> list[Modulus]:
+        """Full composite-scaling chain (TPU-native q32 regime): an anchor
+        group of `degree` anchor_bits primes, `levels` data groups of
+        `degree` primes whose PRODUCT tracks the FLEXIBLEAUTO ladder target
+        2^scale_bits, and `special_count` key-switching primes.
+
+        Independent per-prime selection makes the ladder ratio drift double
+        per level (sf[k] = sf[k-1]^2 / Qg) and blow past the reference's
+        (0.5, 2.0) validity window on deep chains; instead each group fixes
+        its first prime near 2^(scale_bits/degree) and picks the remaining
+        primes nearest to target/partial-product, with the target chosen
+        greedily as sf_prev^2 / 2^scale_bits so per-level error never
+        compounds (the semantics of OpenFHE's 32-bit COMPOSITESCALINGAUTO
+        prime search; no counterpart in the CUDA reference)."""
+        n = poly_modulus_degree
+        if degree < 1:
+            raise ValueError("degree must be >= 1")
+        b = scale_bits // degree
+        if not (USER_MOD_BIT_COUNT_MIN <= b <= USER_MOD_BIT_COUNT_MAX):
+            raise ValueError("scale_bits/degree out of prime-size bounds")
+        used: set[int] = set()
+
+        def take_near(target: float, bits_cap: int | None) -> int:
+            p = numth.nearest_prime(n, target, used, bits_cap)
+            used.add(p)
+            return p
+
+        anchor = [take_near(2.0 ** anchor_bits * (1 - 2e-3), anchor_bits)
+                  for _ in range(degree)]
+        specials = [take_near(2.0 ** special_bits * (1 - 2e-3), special_bits)
+                    for _ in range(special_count)]
+
+        target_sf = 2.0 ** scale_bits
+        groups: list[list[int]] = []
+        sf = None
+        for _ in range(levels):
+            tgt = target_sf if sf is None else sf * sf / target_sf
+            if degree == 2:
+                # pair-candidate search: nearest-prime granularity alone
+                # leaves ~1e-5 product error (prime gaps are ~30 candidate
+                # steps at 2^28), which caps bootstrap precision; searching
+                # over candidate first-primes brings the pair product
+                # within ~1e-7 of the ladder target
+                cands = numth.nearest_primes(n, 2.0 ** b, used, 24)
+                best = None
+                for a in cands:
+                    partner = numth.nearest_prime(n, tgt / a, used | {a})
+                    err = abs(a * partner - tgt) / tgt
+                    if best is None or err < best[0]:
+                        best = (err, a, partner)
+                _, a, partner = best
+                used.add(a)
+                used.add(partner)
+                group = [a, partner]
+                partial = float(a) * float(partner)
+            else:
+                group = []
+                partial = 1.0
+                for j in range(degree):
+                    remaining = tgt / partial
+                    if j < degree - 1:
+                        p = take_near(2.0 ** b, None)
+                    else:
+                        p = take_near(remaining, None)
+                    group.append(p)
+                    partial *= float(p)
+            groups.append(group)
+            sf = partial if sf is None else sf * sf / partial
+        # chain order: anchor, then data groups with the LAST group being
+        # the first consumed by the ladder (generation order above)
+        data = [p for g in reversed(groups) for p in g]
+        return [Modulus(p) for p in anchor + data + specials]
+
+
 class PlainModulus:
     @staticmethod
     def batching(poly_modulus_degree: int, bit_size: int) -> Modulus:

@@ -137,6 +137,37 @@ def get_primes_below(ntt_size: int, upper_bound: int, count: int) -> list[int]:
     return out
 
 
+def nearest_primes(ntt_size: int, target: float, used=(), count: int = 1,
+                   max_bits: int | None = None) -> list[int]:
+    """The `count` NTT-friendly primes q = 1 (mod 2*ntt_size) nearest to
+    `target`, skipping values in `used` (and values over max_bits bits if
+    given).  Walks candidates outward from the aligned start in both
+    directions; used by the composite-scaling chain builder to pin each
+    logical level's PRIME-GROUP PRODUCT to the FLEXIBLEAUTO ladder
+    target."""
+    factor = 2 * ntt_size
+    base = (int(round(target)) // factor) * factor + 1
+    used = set(used)
+    out: list[int] = []
+    for step in range(0, 1 << 22):
+        for sign in ((1,) if step == 0 else (1, -1)):
+            cand = base + sign * step * factor
+            if cand <= 2 or cand in used:
+                continue
+            if max_bits is not None and cand.bit_length() > max_bits:
+                continue
+            if is_prime(cand):
+                out.append(cand)
+                if len(out) >= count:
+                    return out
+    raise RuntimeError("failed to find enough qualifying primes near target")
+
+
+def nearest_prime(ntt_size: int, target: float, used=(),
+                  max_bits: int | None = None) -> int:
+    return nearest_primes(ntt_size, target, used, 1, max_bits)[0]
+
+
 def is_primitive_root(root: int, degree: int, modulus: int) -> bool:
     """degree is a power of two; root is a primitive degree-th root of unity
     iff root^(degree/2) == -1 (mod modulus)."""

@@ -39,6 +39,14 @@ class EncryptionParameters:
     mul_tech: MulTech = MulTech.behz
     # Rotation steps for which Galois keys will be generated (optional hint).
     galois_steps: tuple[int, ...] = field(default_factory=tuple)
+    # Composite scaling (CKKS, TPU-native): one logical level spans this
+    # many RNS limbs, so ~2^56-bit working scales can be built from PAIRS
+    # of ~28-bit primes and the whole evaluation runs in the q32
+    # single-word kernel regime (see ops/ntt_pallas.py).  The reference has
+    # no counterpart (CUDA has native 64-bit multiply; the TPU VPU is a
+    # 32-bit machine) — this is the same regime as OpenFHE's 32-bit-word
+    # COMPOSITESCALING builds.  1 = classic single-prime levels.
+    composite_degree: int = 1
 
     def __post_init__(self):
         n = self.poly_modulus_degree
@@ -65,6 +73,26 @@ class EncryptionParameters:
                 "coeff modulus chain too long: > 64 primes is only supported "
                 "in the q32 regime (every prime < 2^30)"
             )
+        d = self.composite_degree
+        if d < 1:
+            raise ValueError("composite_degree must be >= 1")
+        if d > 1:
+            if self.scheme != SchemeType.ckks:
+                raise ValueError("composite scaling is a CKKS regime")
+            if self.size_Q % d:
+                raise ValueError(
+                    "composite scaling needs size_Q divisible by the degree "
+                    "(every logical level, including the anchor, is a full "
+                    "group of primes)"
+                )
+            anchor = 1
+            for v in values[:d]:
+                anchor *= v
+            if anchor.bit_length() > 62:
+                raise ValueError(
+                    "composite anchor product must fit 62 bits (exact u64 "
+                    "CRT compose during RaiseMod)"
+                )
 
     @property
     def log_n(self) -> int:

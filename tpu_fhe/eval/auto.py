@@ -33,17 +33,47 @@ from . import evaluator as ev
 # scaling factor ladder (reference: include/ciphertext.h:320-367)
 # --------------------------------------------------------------------------
 
+def composite_degree(ctx: FheContext) -> int:
+    """Limbs per logical CKKS level (1 = classic; >1 = composite scaling,
+    the TPU-native q32 regime where a logical level is a group of ~28-bit
+    primes — see core/params.py)."""
+    return getattr(ctx.params, "composite_degree", 1)
+
+
+def level_group_product(ctx: FheContext, size_Ql: int) -> float:
+    """Product of the primes one mod_reduce at limb-count size_Ql divides
+    by: the last `composite_degree` primes of the level (= q_last for the
+    classic regime)."""
+    d = composite_degree(ctx)
+    q = ctx.q_values
+    prod = 1.0
+    for v in q[size_Ql - d:size_Ql]:
+        prod *= float(v)
+    return prod
+
+
 def scaling_factors(ctx: FheContext) -> tuple[list[float], list[float]]:
-    """sf[0] = q_{K-1}; sf[k] = sf[k-1]^2 / q_{K-k}; big[k] = sf[k]^2."""
+    """sf[0] = Qg_{G-1}; sf[k] = sf[k-1]^2 / Qg_{G-k}; big[k] = sf[k]^2,
+    where Qg_j is the product of logical-level group j's primes (a single
+    prime in the classic regime; `composite_degree` primes in composite
+    scaling).  Mirrors the reference ladder (include/ciphertext.h:337-355)
+    with q_{K-k} generalized to the group product."""
     key = "_flexauto_sf"
     cached = getattr(ctx, key, None)
     if cached is not None:
         return cached
     q = ctx.q_values
-    K = len(q)
-    sf = [float(q[K - 1])]
-    for k in range(1, K):
-        sf.append(sf[k - 1] * sf[k - 1] / float(q[K - k]))
+    d = composite_degree(ctx)
+    G = len(q) // d
+    qg = []
+    for j in range(G):
+        prod = 1.0
+        for v in q[d * j:d * j + d]:
+            prod *= float(v)
+        qg.append(prod)
+    sf = [qg[G - 1]]
+    for k in range(1, G):
+        sf.append(sf[k - 1] * sf[k - 1] / qg[G - k])
         ratio = sf[k] / sf[0]
         if not (0.5 < ratio < 2.0):
             raise ValueError(
@@ -60,24 +90,26 @@ def default_scale(ctx: FheContext) -> float:
     return scaling_factors(ctx)[0][0]
 
 
-def _level(ct: Ciphertext) -> int:
-    return ct.chain_index - 1
+def _level(ct: Ciphertext, ctx: FheContext | None = None) -> int:
+    if ctx is None:
+        return ct.chain_index - 1
+    return (ct.chain_index - 1) // composite_degree(ctx)
 
 
 # --------------------------------------------------------------------------
-# ModReduce / level switching
+# ModReduce / level switching (logical levels: `composite_degree` limbs each)
 # --------------------------------------------------------------------------
 
 def mod_reduce(ctx: FheContext, ct: Ciphertext, levels: int = 1) -> Ciphertext:
     out = ct
-    for _ in range(levels):
+    for _ in range(levels * composite_degree(ctx)):
         out = ev.rescale_to_next(ctx, out)
     return replace(out, noise_scale_deg=ct.noise_scale_deg - levels)
 
 
 def mod_switch_level(ctx: FheContext, ct: Ciphertext, levels: int) -> Ciphertext:
     out = ct
-    for _ in range(levels):
+    for _ in range(levels * composite_degree(ctx)):
         out = ev.mod_drop_to_next(ctx, out)
     return out
 
@@ -93,7 +125,7 @@ def _crt_lift_mult(ctx: FheContext, ct: Ciphertext, operand: float) -> list[int]
     __int128 path (src/evaluate.cu:2332-2411); Python's exact float->int
     conversion subsumes the approxFactor splitting."""
     sf, _ = scaling_factors(ctx)
-    scf = sf[_level(ct)]
+    scf = sf[_level(ct, ctx)]
     large = int(round(operand * scf))
     level = ctx.level(ct.chain_index)
     return [large % q for q in level.base.values]
@@ -103,7 +135,7 @@ def _crt_lift_addsub(ctx: FheContext, ct: Ciphertext, operand: float) -> list[in
     """round(operand*sf) * round(sf)^(noiseDeg-1) mod q_i
     (src/evaluate.cu:2894-2950)."""
     sf, _ = scaling_factors(ctx)
-    scf = sf[_level(ct)]
+    scf = sf[_level(ct, ctx)]
     const = int(round(operand * scf))
     int_scf = int(round(scf))
     for _ in range(1, ct.noise_scale_deg):
@@ -128,7 +160,7 @@ def mult_const_core(ctx: FheContext, ct: Ciphertext, operand: float) -> Cipherte
         ct,
         data=data,
         noise_scale_deg=ct.noise_scale_deg + 1,
-        scale=ct.scale * sf[_level(ct)],
+        scale=ct.scale * sf[_level(ct, ctx)],
     )
 
 
@@ -165,7 +197,7 @@ def adjust_levels_and_depth(
 ) -> tuple[Ciphertext, Ciphertext]:
     sf, sf_big = scaling_factors(ctx)
     q = ctx.q_values
-    c1lvl, c2lvl = _level(c1), _level(c2)
+    c1lvl, c2lvl = _level(c1, ctx), _level(c2, ctx)
     c1depth, c2depth = c1.noise_scale_deg, c2.noise_scale_deg
 
     if c1lvl < c2lvl:
@@ -184,7 +216,7 @@ def _adjust_lower(
     ctx: FheContext, lo: Ciphertext, hi: Ciphertext, sf, sf_big, q
 ) -> Ciphertext:
     """Bring `lo` (at the lower level = larger modulus) to `hi`'s level."""
-    lolvl, hilvl = _level(lo), _level(hi)
+    lolvl, hilvl = _level(lo, ctx), _level(hi, ctx)
     lodepth, hidepth = lo.noise_scale_deg, hi.noise_scale_deg
     size_Ql_lo = ctx.level(lo.chain_index).size
 
@@ -192,7 +224,7 @@ def _adjust_lower(
         if hidepth == 2:
             scf1, scf2 = lo.scale, hi.scale
             scf = sf[lolvl]
-            q1 = float(q[size_Ql_lo - 1])
+            q1 = level_group_product(ctx, size_Ql_lo)
             lo = mult_const_core(ctx, lo, scf2 / scf1 * q1 / scf)
             lo = mod_reduce(ctx, lo, 1)
             if lolvl + 1 < hilvl:
@@ -205,7 +237,7 @@ def _adjust_lower(
                 scf1 = lo.scale
                 scf2 = sf_big[hilvl - 1]
                 scf = sf[lolvl]
-                q1 = float(q[size_Ql_lo - 1])
+                q1 = level_group_product(ctx, size_Ql_lo)
                 lo = mult_const_core(ctx, lo, scf2 / scf1 * q1 / scf)
                 lo = mod_reduce(ctx, lo, 1)
                 if lolvl + 2 < hilvl:
@@ -298,8 +330,16 @@ def eval_mult_plain_auto(
 # --------------------------------------------------------------------------
 
 def raise_mod(ctx: FheContext, ct: Ciphertext) -> Ciphertext:
-    """Mod-raise to the full chain: signed-lift the limb-0 residues of each
-    component to every limb of Q (via switchModulus) and NTT back."""
+    """Mod-raise to the full chain: signed-lift the anchor-level residues of
+    each component to every limb of Q (via switchModulus) and NTT back.
+
+    Classic regime: the anchor is limb 0 and the lift reads its residues
+    directly.  Composite scaling: the anchor is a GROUP of primes, so the
+    coefficients are first CRT-composed exactly to u64 (the params layer
+    guarantees the anchor product fits 62 bits), centered against the group
+    product, and reduced into every limb of Q."""
+    if composite_degree(ctx) > 1:
+        return _raise_mod_composite(ctx, ct)
     level = ctx.level(ct.chain_index)
     first = ctx.first_data_level
     coeff = inverse_ntt(ct.data, level.ntt)  # (size, L, N); only limb 0 used
@@ -321,6 +361,64 @@ def raise_mod(ctx: FheContext, ct: Ciphertext) -> Ciphertext:
         w64.where(is_neg, lifted_up, c_l0),
         w64.where(is_neg, lifted_down, pos_small),
     )
+    data = forward_ntt(raised, first.ntt)
+    return replace(ct, data=data, chain_index=1)
+
+
+def _raise_mod_composite(ctx: FheContext, ct: Ciphertext) -> Ciphertext:
+    """RaiseMod for composite scaling: Garner-compose the anchor group's
+    residues to the exact u64 coefficient mod Qa (= product of the anchor
+    primes, < 2^62 by the params check), center against Qa, and reduce into
+    every limb of Q.  Every target prime is < Qa, so only the reference's
+    `new_q < q0` switchModulus branch applies (src/evaluate.cu:2459-2503)."""
+    from ..core.numth import invert_mod
+
+    d = composite_degree(ctx)
+    level = ctx.level(ct.chain_index)
+    if level.size != d:
+        raise ValueError(
+            "composite RaiseMod expects the ciphertext at the anchor level "
+            f"(size {d}), got size {level.size}"
+        )
+    first = ctx.first_data_level
+    qs = [int(v) for v in ctx.q_values[:d]]
+    coeff = inverse_ntt(ct.data, level.ntt)  # (size, d, N), [0, q_i)
+
+    def scl(v: int) -> np.ndarray:
+        return np.array([[v]], dtype=np.uint64)
+
+    # Garner: cur = x mod (q_0..q_{i-1}) as an exact u64; extend one prime
+    # at a time with v_i = (x_i - cur) * inv(prod_prev) mod q_i.
+    cur = coeff[:, 0:1, :]
+    prod_prev = qs[0]
+    for i in range(1, d):
+        qi = qs[i]
+        q_vec = level.mod.q[i:i + 1]
+        rlo = level.mod.ratio_lo[i:i + 1]
+        rhi = level.mod.ratio_hi[i:i + 1]
+        cur_mod = mm.barrett_reduce_u64(cur, q_vec, rhi)
+        diff = mm.sub_mod(coeff[:, i:i + 1, :], cur_mod, q_vec)
+        inv = invert_mod(prod_prev % qi, qi)
+        v = mm.mul_mod(diff, scl(inv), q_vec, rlo, rhi)
+        cur = w64.add(mm.mul_u64_lo(v, scl(prod_prev)), cur)
+        prod_prev *= qi
+
+    qa = prod_prev
+    new_q = first.mod.q  # (K, 1)
+    all_q = [int(v) for v in ctx.q_values]
+    is_neg = w64.gt(cur, scl(qa >> 1))
+    # (cur - Qa) mod q_j computed as (cur + (q_j - Qa mod q_j)) mod q_j;
+    # the sum stays < 2^62 + 2^31 so the u64 add is exact (host-exact
+    # per-limb constants; q_j - Qa%q_j == q_j when q_j divides Qa is fine:
+    # it only shifts by a multiple of q_j before the Barrett landing)
+    diff_small = np.array(
+        [[q - qa % q] for q in all_q], dtype=np.uint64
+    )
+    lifted_down = mm.barrett_reduce_u64(
+        w64.add(cur, diff_small), new_q, first.mod.ratio_hi
+    )
+    pos = mm.barrett_reduce_u64(cur, new_q, first.mod.ratio_hi)
+    raised = w64.where(is_neg, lifted_down, pos)
     data = forward_ntt(raised, first.ntt)
     return replace(ct, data=data, chain_index=1)
 

@@ -144,7 +144,7 @@ class DNN:
 
     def _encode_mask(self, mask: np.ndarray, ct: Ciphertext) -> Plaintext:
         sf, _ = auto.scaling_factors(self.ctx)
-        lvl = auto._level(ct)
+        lvl = auto._level(ct, self.ctx)
         return self.encoder.encode(
             mask, sf[lvl], chain_index=ct.chain_index, slots=len(mask)
         )
