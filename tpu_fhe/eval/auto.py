@@ -101,9 +101,13 @@ def _level(ct: Ciphertext, ctx: FheContext | None = None) -> int:
 # --------------------------------------------------------------------------
 
 def mod_reduce(ctx: FheContext, ct: Ciphertext, levels: int = 1) -> Ciphertext:
+    d = composite_degree(ctx)
     out = ct
-    for _ in range(levels * composite_degree(ctx)):
-        out = ev.rescale_to_next(ctx, out)
+    for _ in range(levels):
+        # composite: ONE fused divide-and-round by the group product
+        # (half the NTT work of d sequential single-prime rescales)
+        out = (ev.rescale_composite(ctx, out, d) if d > 1
+               else ev.rescale_to_next(ctx, out))
     return replace(out, noise_scale_deg=ct.noise_scale_deg - levels)
 
 

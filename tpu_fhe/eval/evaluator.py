@@ -406,19 +406,108 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     )
 
 
+def _garner_compose_u64(level, coeff: W64, start: int, count: int,
+                        qs: list[int]) -> W64:
+    """CRT-compose `count` consecutive limb residues (chain positions
+    start..start+count-1 of `level`) into the exact u64 value mod their
+    product (caller guarantees the product fits 62 bits).  Garner: extend
+    one prime at a time with v_i = (x_i - cur) * inv(prod_prev) mod q_i."""
+    from ..core.numth import invert_mod
+
+    def scl(v: int) -> np.ndarray:
+        return np.array([[v]], dtype=np.uint64)
+
+    cur = coeff[..., 0:1, :]
+    prod_prev = qs[0]
+    for i in range(1, count):
+        qi = qs[i]
+        row = start + i
+        q_vec = level.mod.q[row:row + 1]
+        rlo = level.mod.ratio_lo[row:row + 1]
+        rhi = level.mod.ratio_hi[row:row + 1]
+        cur_mod = mm.barrett_reduce_u64(cur, q_vec, rhi)
+        diff = mm.sub_mod(coeff[..., i:i + 1, :], cur_mod, q_vec)
+        inv = invert_mod(prod_prev % qi, qi)
+        v = mm.mul_mod(diff, scl(inv), q_vec, rlo, rhi)
+        cur = w64.add(mm.mul_u64_lo(v, scl(prod_prev)), cur)
+        prod_prev *= qi
+    return cur
+
+
 def rescale_composite(ctx: FheContext, a: Ciphertext, limbs: int = 2) -> Ciphertext:
-    """Composite-scaling rescale: divide by the product of the last `limbs`
-    primes (default 2).
+    """Composite-scaling rescale: ONE divide-and-round by the product of
+    the last `limbs` primes.
 
     The TPU-native q32 regime replaces each ~56-60-bit scale prime with a
     PAIR of ~28-30-bit primes (single-word butterflies, see
     ops/ntt_pallas.py q32 plan); one logical CKKS level then spans two
     RNS limbs and a multiplication rescales by both.  Precision matches
     the 60-bit-prime regime because the working scale is the pair product
-    (~2^56), not a single small prime."""
-    for _ in range(limbs):
-        a = rescale_to_next(ctx, a)
-    return a
+    (~2^56), not a single small prime.
+
+    Fused path (product < 2^62): iNTT only the dropped limbs,
+    Garner-compose them to the exact u64 value mod Q2, apply the rounding
+    shift, and land the subtraction + *Q2^{-1} in ONE fused forward pass —
+    half the NTT work of `limbs` sequential single-prime rescales (which
+    remain the fallback for oversized products)."""
+    if limbs == 1:
+        return rescale_to_next(ctx, a)
+    if a.chain_index + limbs >= len(ctx.chain):
+        raise ValueError("not enough levels left to rescale")
+    level = ctx.level(a.chain_index)
+    L = level.size
+    if L - limbs < 1:
+        raise ValueError("no modulus left to rescale")
+    qd = [int(v) for v in ctx.q_values[L - limbs:L]]
+    q2 = 1
+    for v in qd:
+        q2 *= v
+    if q2.bit_length() > 62:
+        for _ in range(limbs):
+            a = rescale_to_next(ctx, a)
+        return a
+
+    drop_idx = list(range(L - limbs, L))
+    coeff = inverse_ntt(a.data[:, L - limbs:, :], level.ntt.slice_limbs(drop_idx))
+    v = _garner_compose_u64(level, coeff, L - limbs, limbs, qd)  # [0, Q2)
+
+    half = q2 >> 1
+    # w = (v + Q2/2) mod Q2 (sum < 2^63: exact), then per remaining limb
+    # tmp_i = (w - Q2/2) mod q_i so that x - tmp == round(x/Q2)*Q2 (mod q_i)
+    w_ = w64.csub(
+        w64.add(v, np.array([[half]], dtype=np.uint64)),
+        np.array([[q2]], dtype=np.uint64),
+    )
+    next_level = ctx.level(a.chain_index + limbs)
+    rest_mod = next_level.mod
+    red = mm.barrett_reduce_u64(w_, rest_mod.q, rest_mod.ratio_hi)
+    rest_q = [int(x) for x in ctx.q_values[:L - limbs]]
+    half_mod = np.array([[half % q] for q in rest_q], dtype=np.uint64)
+    tmp = mm.sub_mod(red, half_mod, rest_mod.q)
+
+    cache = ctx.__dict__.setdefault("_comp_rescale_tables", {})
+    tabs = cache.get((a.chain_index, limbs))
+    if tabs is None:
+        from ..core.numth import invert_mod
+
+        inv_q2 = np.array(
+            [[invert_mod(q2 % q, q)] for q in rest_q], dtype=np.uint64
+        )
+        inv_q2_shoup = np.array(
+            [[(int(iv[0]) << 64) // q] for iv, q in zip(inv_q2, rest_q)],
+            dtype=np.uint64,
+        )
+        tabs = (inv_q2, inv_q2_shoup)
+        cache[(a.chain_index, limbs)] = tabs
+    inv_q2, inv_q2_shoup = tabs
+
+    out = forward_ntt_sub_scale(
+        tmp, a.data[:, :L - limbs, :], next_level.ntt, inv_q2, inv_q2_shoup
+    )
+    scale = a.scale
+    for v_ in qd:
+        scale /= float(v_)
+    return replace(a, data=out, chain_index=a.chain_index + limbs, scale=scale)
 
 
 def mod_drop_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:

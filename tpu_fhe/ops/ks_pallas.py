@@ -181,8 +181,11 @@ def key_inner_prod_shoup_pallas(t, evk, evk_shoup, limb_map, q_words):
     lm = jnp.asarray(limb_map, dtype=jnp.int32)
     scalars = [lm, qlo, qhi]
 
-    # per grid step: t 2 + evk 4 + shoup 4 planes per digit + 4 out planes
-    budget = 6 << 20
+    # per grid step: t 2 + evk 4 + shoup 4 planes per digit + 4 out planes;
+    # budget must cover Pallas DOUBLE-BUFFERING of every block (observed:
+    # 6 MB of planes compiled to a 16.04 MB scoped allocation at the
+    # logN=16 bootstrap shape, 40 KB over the 16 MB limit)
+    budget = 4 << 20
     rb = max(8, budget // (LANES * 4 * (10 * beta + 4)) // 8 * 8)
     rb = min(rb, rows)
     while rows % rb:
