@@ -49,6 +49,7 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=size_p,
     )

@@ -39,6 +39,7 @@ def main():
     params = EncryptionParameters(
         scheme=SchemeType.bgv,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=1,
         plain_modulus=PlainModulus.batching(n, args.t_bits),

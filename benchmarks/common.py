@@ -43,6 +43,7 @@ def make_ckks(n, data_bits, num_data, size_p, first_bits=60, aux_bits=60):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=size_p,
     )

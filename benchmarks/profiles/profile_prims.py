@@ -34,6 +34,7 @@ def main(n=1 << 15, data_bits=50, num_data=30, size_p=15, iters=30):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=size_p,
     )

@@ -52,6 +52,7 @@ def main():
     params = EncryptionParameters(
         scheme=SchemeType.bfv,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=1,
         plain_modulus=PlainModulus.batching(n, args.t_bits),
@@ -111,6 +112,7 @@ def main():
         hps_params = EncryptionParameters(
             scheme=SchemeType.bfv,
             poly_modulus_degree=n,
+            allow_insecure=True,
             coeff_modulus=params.coeff_modulus,
             special_modulus_size=1,
             plain_modulus=params.plain_modulus,

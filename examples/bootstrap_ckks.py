@@ -123,6 +123,7 @@ def main():
         params = EncryptionParameters(
             scheme=SchemeType.ckks,
             poly_modulus_degree=n,
+            allow_insecure=True,
             coeff_modulus=tuple(mods),
             special_modulus_size=size_p,
             composite_degree=2,
@@ -134,6 +135,7 @@ def main():
         params = EncryptionParameters(
             scheme=SchemeType.ckks,
             poly_modulus_degree=n,
+            allow_insecure=True,
             coeff_modulus=tuple(CoeffModulus.create(n, bits)),
             special_modulus_size=size_p,
         )

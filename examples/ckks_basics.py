@@ -51,6 +51,7 @@ def main():
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=1,
     )

@@ -45,6 +45,7 @@ def main():
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [60, 40, 40, 60])),
         special_modulus_size=1,
     )

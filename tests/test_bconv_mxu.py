@@ -99,6 +99,7 @@ def test_mxu_dispatch_through_evaluator(monkeypatch):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [50, 40, 40, 50])),
         special_modulus_size=1,
     )

@@ -22,6 +22,7 @@ def make_bfv(n=256, bits=(50, 50, 60), t_bits=20, size_p=1):
     params = EncryptionParameters(
         scheme=SchemeType.bfv,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=size_p,
         plain_modulus=t,
@@ -179,6 +180,7 @@ def make_bfv_hps(mul_tech, n=256, bits=(50, 50, 50, 60), t_bits=20):
     params = EncryptionParameters(
         scheme=SchemeType.bfv,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=1,
         plain_modulus=t,

@@ -22,6 +22,7 @@ def make_bgv(n=256, bits=(50, 50, 50, 60), t_bits=20, size_p=1):
     params = EncryptionParameters(
         scheme=SchemeType.bgv,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=size_p,
         plain_modulus=t,

@@ -41,6 +41,7 @@ def _ctx(n=64, pairs=3, anchor=30, scale_bits=56, sp=2):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=sp,
         composite_degree=2,

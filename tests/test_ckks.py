@@ -20,6 +20,7 @@ def make_ckks(n=256, bits=(50, 40, 40, 50), size_p=1):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=size_p,
     )

@@ -49,6 +49,7 @@ def test_encode_ext_batch_matches_single():
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [50, 40, 40, 50])),
         special_modulus_size=1,
     )

@@ -21,6 +21,7 @@ def ckks():
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [40, 40, 40])),
         special_modulus_size=1,
     )

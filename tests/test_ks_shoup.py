@@ -43,6 +43,7 @@ def _ctx(bits, n=512, size_p=None):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, bits)),
         special_modulus_size=size_p or 1,
     )

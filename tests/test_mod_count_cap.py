@@ -39,6 +39,7 @@ def test_params_enforce_scoped_cap():
         EncryptionParameters(
             scheme=SchemeType.ckks,
             poly_modulus_degree=1 << 15,
+            allow_insecure=True,
             coeff_modulus=tuple(mods60) + tuple(extra),
             special_modulus_size=1,
         )
@@ -46,6 +47,7 @@ def test_params_enforce_scoped_cap():
     p = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=1 << 14,
+        allow_insecure=True,
         coeff_modulus=tuple(mods30),
         special_modulus_size=2,
     )

@@ -152,6 +152,7 @@ def test_q32_key_inner_product_matches_xla(force_pallas, monkeypatch):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [29, 28, 28, 29, 29])),
         special_modulus_size=2,
     )
@@ -185,6 +186,7 @@ def test_q32_keyswitch_context_end_to_end(force_pallas):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [29, 28, 28, 29, 29])),
         special_modulus_size=2,
     )

@@ -47,6 +47,7 @@ def test_pallas_key_inner_product_matches_xla(force_pallas, monkeypatch):
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(CoeffModulus.create(n, [50, 40, 40, 40, 50])),
         special_modulus_size=1,
     )

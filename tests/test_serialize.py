@@ -23,6 +23,7 @@ def ckks():
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
+        allow_insecure=True,
         coeff_modulus=tuple(mods),
         special_modulus_size=1,
     )

@@ -71,10 +71,14 @@ class Modulus:
 
 # HomomorphicEncryption.org standard tables: max total log q bits for a given
 # N at 128/192/256-bit security with ternary secret
-# (reference: include/host/hestdparms.h:14-33).
-_HE_STD_128_TC = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881}
-_HE_STD_192_TC = {1024: 19, 2048: 37, 4096: 75, 8192: 152, 16384: 305, 32768: 611}
-_HE_STD_256_TC = {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476}
+# (reference: include/host/hestdparms.h:14-78, incl. the extended
+# N=65536/131072 rows).  Unknown N -> 0 (no bound known).
+_HE_STD_128_TC = {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438,
+                  32768: 881, 65536: 1777, 131072: 3576}
+_HE_STD_192_TC = {1024: 19, 2048: 37, 4096: 75, 8192: 151, 16384: 304,
+                  32768: 611, 65536: 1229, 131072: 2469}
+_HE_STD_256_TC = {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237,
+                  32768: 476, 65536: 955, 131072: 1918}
 
 
 def he_std_parms(poly_modulus_degree: int, sec_level: int = 128) -> int:

@@ -47,6 +47,13 @@ class EncryptionParameters:
     # 32-bit machine) — this is the same regime as OpenFHE's 32-bit-word
     # COMPOSITESCALING builds.  1 = classic single-prime levels.
     composite_degree: int = 1
+    # HomomorphicEncryption.org security level enforced at construction
+    # (reference he_std tables, include/host/hestdparms.h:14-78): total
+    # logQP must not exceed the table bound for this N.  0 disables the
+    # check; alternatively pass allow_insecure=True to keep sec_level
+    # metadata but skip enforcement (research/bench parameter regimes).
+    sec_level: int = 128
+    allow_insecure: bool = False
 
     def __post_init__(self):
         n = self.poly_modulus_degree
@@ -93,6 +100,20 @@ class EncryptionParameters:
                     "composite anchor product must fit 62 bits (exact u64 "
                     "CRT compose during RaiseMod)"
                 )
+        if self.sec_level and not self.allow_insecure:
+            from .modulus import he_std_parms
+
+            bound = he_std_parms(n, self.sec_level)
+            if bound:
+                total = sum(v.bit_length() for v in values)
+                if total > bound:
+                    raise ValueError(
+                        f"total coeff modulus is {total} bits but the "
+                        f"HomomorphicEncryption.org bound for N={n} at "
+                        f"{self.sec_level}-bit security is {bound} bits; "
+                        "pass allow_insecure=True (or sec_level=0) for "
+                        "research parameter regimes"
+                    )
 
     @property
     def log_n(self) -> int:

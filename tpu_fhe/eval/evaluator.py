@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import SchemeType
 from ..ops import w64
@@ -98,22 +99,23 @@ def sub_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
 # --------------------------------------------------------------------------
 
 def multiply(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    """(a0,a1) x (b0,b1) -> (a0b0, a0b1+a1b0, a1b1); scales multiply."""
+    """General NTT-domain tensor product: size-m x size-n -> size (m+n-1),
+    c_k = sum_{i+j=k} a_i * b_j (reference tensor_prod_mxn_rns_poly path,
+    src/evaluate.cu:415-479); scales multiply.  The common 2x2 case emits
+    exactly the classic (a0b0, a0b1+a1b0, a1b1)."""
     _ = _check_level(a, b)
-    if a.size != 2 or b.size != 2:
-        raise ValueError("multiply expects size-2 ciphertexts (relinearize first)")
     level = ctx.level(a.chain_index)
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
-    a0, a1 = a.data[0], a.data[1]
-    b0, b1 = b.data[0], b.data[1]
-    c0 = mm.mul_mod(a0, b0, q, rlo, rhi)
-    c2 = mm.mul_mod(a1, b1, q, rlo, rhi)
-    cross = mm.add_mod(
-        mm.mul_mod(a0, b1, q, rlo, rhi), mm.mul_mod(a1, b0, q, rlo, rhi), q
-    )
+    m, n = a.size, b.size
+    comps: list = [None] * (m + n - 1)
+    for i in range(m):
+        for j in range(n):
+            t = mm.mul_mod(a.data[i], b.data[j], q, rlo, rhi)
+            k = i + j
+            comps[k] = t if comps[k] is None else mm.add_mod(comps[k], t, q)
     return replace(
         a,
-        data=w64.stack([c0, cross, c2]),
+        data=w64.stack(comps),
         scale=a.scale * b.scale,
         noise_scale_deg=a.noise_scale_deg + b.noise_scale_deg,
     )
