@@ -159,6 +159,103 @@ def _check_level(a: Ciphertext, b: Ciphertext) -> int:
 # hybrid key switching (the hot path)
 # --------------------------------------------------------------------------
 
+_MESH_MODUP_CACHE: dict = {}
+
+
+def _limb_mesh_active() -> bool:
+    """True when tracing under a device mesh whose 'limb' axis is > 1 —
+    only then is the shard-friendly modup form worth its extra NTT rows."""
+    if not w64._in_mesh_context():
+        return False
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+        if not m.empty:
+            return m.shape.get("limb", 1) > 1
+    except Exception:  # pragma: no cover - private API moved
+        pass
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        return dict(getattr(m, "shape_tuple", ())).get("limb", 1) > 1
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _mesh_modup_tables(level: ContextLevel):
+    """Per-level tables for the shard-friendly (mask-select) modup form:
+    full-QlP NTT tables, per-digit (QlP, alpha) conversion matrices with
+    zero rows at the digit's own limbs, and the QlP modulus vectors."""
+    got = _MESH_MODUP_CACHE.get(id(level))
+    if got is not None:
+        return got[1]
+    import numpy as _np
+
+    from ..ops.ntt import DeviceNTTTables
+    from ..utils.device import host_np
+
+    ks = level.ks
+    size_Ql = level.size
+    size_P = int(ks.p_mod.q.shape[0])
+    qlp = size_Ql + size_P
+    full_ntt = DeviceNTTTables.concat(level.ntt, ks.p_ntt)
+    q, rlo, rhi = _qlp_mod(level)
+    q = q.reshape(-1, 1)
+    rlo = rlo.reshape(-1, 1)
+    rhi = rhi.reshape(-1, 1)
+    per_digit = []
+    for dt in ks.digits:
+        alpha = dt.end - dt.start
+        tab = host_np(dt.qhat_mod_p, dtype=_np.uint64)
+        full = _np.zeros((qlp, alpha), dtype=_np.uint64)
+        full[: dt.start] = tab[: dt.start]
+        full[dt.end:] = tab[dt.start:]
+        rows = _np.arange(qlp)
+        own_mask = ((rows >= dt.start) & (rows < dt.end))[:, None]
+        per_digit.append((full, own_mask))
+    data = (full_ntt, q, rlo, rhi, per_digit)
+    _MESH_MODUP_CACHE[id(level)] = (level, data)
+    return data
+
+
+def _modup_mesh(
+    ctx: FheContext, level: ContextLevel, c2: W64, scaled: W64,
+    *, is_ntt: bool, q32: bool,
+) -> W64:
+    """Shard-friendly modup: instead of row-splicing each digit's own NTT
+    limbs into the converted complement (a concat that crosses limb-shard
+    boundaries and makes the SPMD partitioner emit collective-permutes),
+    convert EVERY QlP row per digit (zero conversion weights at the
+    digit's own rows), NTT the whole (QlP, N) block limb-locally, and
+    elementwise-select the own rows from the zero-padded input.  Costs
+    alpha extra NTT rows per digit; keeps every step limb-local except
+    the bconv contraction itself, which becomes the digit-sum collective
+    (SURVEY.md section 2.3).  Bit-identical to the splice form."""
+    ks = level.ks
+    size_Ql = level.size
+    full_ntt, q_all, rlo_all, rhi_all, per_digit = _mesh_modup_tables(level)
+    qlp = q_all.shape[0]
+    n = c2.shape[-1]
+
+    if is_ntt:
+        own_full = c2
+    else:
+        own_full = forward_ntt(c2, level.ntt)
+    own_ext = w64.concat(
+        [own_full, w64.zeros((qlp - size_Ql, n))], axis=0
+    )
+
+    digits = []
+    for dt, (qhat_all, own_mask) in zip(ks.digits, per_digit):
+        piece = scaled[dt.start:dt.end]
+        conv = bconv_matmul(
+            piece, qhat_all, q_all, rlo_all, rhi_all, src_q32=q32
+        )
+        conv_ntt = forward_ntt(conv, full_ntt)
+        digits.append(w64.where(own_mask, own_ext, conv_ntt))
+    return w64.stack(digits)
+
+
 def modup(
     ctx: FheContext, level: ContextLevel, c2: W64, *, is_ntt: bool = True
 ) -> W64:
@@ -168,7 +265,9 @@ def modup(
     per-digit partQlHatInv, fast-convert each digit to the complement of
     QlP, NTT the converted limbs, and splice the digit's own NTT limbs in
     unchanged.  With is_ntt=False (BFV: coefficient-form input) the iNTT is
-    skipped and the digit's own limbs are forward-transformed instead."""
+    skipped and the digit's own limbs are forward-transformed instead.
+    Under an active device mesh the mask-select form (_modup_mesh) is used
+    instead of the row splice."""
     ks = level.ks
     from ..ops.ntt_pallas import NTTPlan32
 
@@ -181,6 +280,8 @@ def modup(
         scaled = mm.mul_mod_shoup(
             c2, ks.part_qhatinv, ks.part_qhatinv_shoup, level.mod.q
         )
+    if _limb_mesh_active():
+        return _modup_mesh(ctx, level, c2, scaled, is_ntt=is_ntt, q32=q32)
     digits = []
     for dt in ks.digits:
         piece = scaled[dt.start:dt.end]
@@ -228,9 +329,10 @@ def key_inner_product(
         import numpy as _np
 
         q, rlo, rhi = _qlp_mod(level)
+        size_QP = ctx.params.size_QP  # evk rows may be padded for sharding
         limb_map = _np.concatenate([
             _np.arange(size_Ql, dtype=_np.int32),
-            _np.arange(size_Q, evk.shape[2], dtype=_np.int32),
+            _np.arange(size_Q, size_QP, dtype=_np.int32),
         ])
         if isinstance(level.ntt.plan, NTTPlan32):
             if key.shoup is not None:
@@ -257,8 +359,10 @@ def key_inner_product(
         )
 
     evk_l = w64.concat(
-        [evk[:, :, :size_Ql, :], evk[:, :, size_Q:, :]], axis=2
-    )  # (dnum, 2, size_QlP, N)
+        [evk[:, :, :size_Ql, :], evk[:, :, size_Q:ctx.params.size_QP, :]],
+        axis=2,
+    )  # (dnum, 2, size_QlP, N); upper bound explicit because the key's
+    # limb axis may carry zero pad rows from mesh sharding
     shape = (2,) + t_mod_up.shape[1:]
     acc_hi = w64.zeros(shape)
     acc_lo = w64.zeros(shape)
@@ -524,8 +628,29 @@ def mod_drop_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
 # --------------------------------------------------------------------------
 
 def rotate(ctx: FheContext, a: Ciphertext, step: int, gk: GaloisKey) -> Ciphertext:
+    """Rotate by `step` slots.  When the fused key for this exact step is
+    missing, fall back to the step's NAF decomposition over power-of-two
+    rotations (reference rotate_internal, src/evaluate.cu:1885-1915) —
+    any step rotates with only the O(log N) classic key set
+    (SecretKey.galois_key_power_of_2)."""
     elt = galois_elt_from_step(step, ctx.n)
-    return apply_galois(ctx, a, elt, gk)
+    if elt == 1:
+        return a
+    try:
+        key = gk.key_for_elt(elt)
+    except ValueError:
+        from ..core.numth import naf
+
+        parts = naf(step)
+        if len(parts) <= 1:
+            raise  # power-of-two step with no key: nothing to compose
+        out = a
+        slots = ctx.n // 2
+        for s in parts:
+            if abs(s) != slots:
+                out = rotate(ctx, out, s, gk)
+        return out
+    return apply_galois_with_key(ctx, a, elt, key)
 
 
 def conjugate(ctx: FheContext, a: Ciphertext, gk: GaloisKey) -> Ciphertext:

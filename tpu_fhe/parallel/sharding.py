@@ -44,13 +44,15 @@ def ct_sharding(mesh: Mesh, batched: bool = False) -> NamedSharding:
 
 
 def key_sharding(mesh: Mesh) -> NamedSharding:
-    """Switching keys: (dnum, 2, size_QP, N).
+    """Switching keys: (dnum, 2, size_QP, N) with the limb axis sharded.
 
-    Replicated: size_QP (= size_Q + size_P) is generally not divisible by
-    the limb-mesh size even when size_Q is, and keys are long-lived
-    weight-like operands — XLA re-shards the per-level slices it needs
-    inside the keyswitch program."""
-    return NamedSharding(mesh, P())
+    Keys dominate HBM at scale (a fused Galois key set at N=2^16 is tens
+    of GB), so they MUST shard over the limb mesh — replication cannot
+    scale.  GSPMD pads the last shard when size_QP is not divisible by
+    the mesh; the keyswitch program's Ql ++ P row gather becomes a
+    resharding collective inserted by the partitioner (measured by
+    benchmarks/scaling_bench.py --mode limb via HLO collective counts)."""
+    return NamedSharding(mesh, P(None, None, "limb", None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -61,7 +63,34 @@ def shard_ciphertext(ct, mesh: Mesh, batched: bool = False):
     return ct.with_data(jax.device_put(ct.data, ct_sharding(mesh, batched)))
 
 
+def _pad_limb_axis(arr, n_limb: int, axis: int = 2):
+    """Zero-pad the limb axis to a multiple of the limb-mesh size so
+    device_put can shard it (GSPMD-style padding done explicitly; the
+    evaluator indexes key rows by size_QP from params, never by the
+    padded array shape, so pad rows are dead weight only)."""
+    from ..ops import w64 as _w64
+    from ..ops.w64 import W64
+    import jax.numpy as jnp
+
+    rows = arr.shape[axis]
+    pad = (-rows) % n_limb
+    if pad == 0:
+        return arr
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = pad
+    if isinstance(arr, W64):
+        return _w64.concat([arr, _w64.zeros(tuple(pad_shape))], axis=axis)
+    return jnp.concatenate(
+        [arr, jnp.zeros(pad_shape, dtype=arr.dtype)], axis=axis
+    )
+
+
 def shard_relin_key(key, mesh: Mesh):
     from ..scheme.keys import RelinKey
 
-    return RelinKey(jax.device_put(key.data, key_sharding(mesh)))
+    n_limb = mesh.shape["limb"]
+    ks = key_sharding(mesh)
+    shoup = None
+    if key.shoup is not None:
+        shoup = jax.device_put(_pad_limb_axis(key.shoup, n_limb), ks)
+    return RelinKey(jax.device_put(_pad_limb_axis(key.data, n_limb), ks), shoup)

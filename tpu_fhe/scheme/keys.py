@@ -240,6 +240,22 @@ class SecretKey:
             keys[elt] = self._galois_key_for_elt(elt, shoup=shoup)
         return GaloisKey(keys)
 
+    def galois_key_power_of_2(self, include_conj: bool = False,
+                              shoup: bool = False) -> GaloisKey:
+        """Classic O(log N) key set: rotations by +/- 2^i slots for every
+        i < log2(N/2) (the reference's create_galois_keys default element
+        set, src/secretkey.cu:532+).  Any other step then rotates via its
+        NAF decomposition in ev.rotate — log-many sequential rotations with
+        only 2*log2(N/2) keys resident, the fallback when a step has no
+        fused key."""
+        n = self.context.n
+        steps: list[int] = []
+        p = 1
+        while p < n // 2:
+            steps.extend([p, -p])
+            p <<= 1
+        return self.galois_key(steps, include_conj=include_conj, shoup=shoup)
+
     def _galois_key_for_elt(self, elt: int, shoup: bool = False) -> RelinKey:
         """Fused-form key: Enc_{sigma_elt^{-1}(s)}(P*s); rotation then
         key-switches the unrotated c1 and applies sigma_elt to the output."""
