@@ -125,47 +125,18 @@ def main():
     else:
         image = rng.uniform(-0.5, 0.5, (width, width, 3))
 
-    # truncate blocks for quick drives
-    if blocks < 3:
-        full = rn.resnet20_infer
-        def truncated(x, model, bootstrapper, weights, log=print):
-            bn = weights["bn1"]
-            x = model.conv(x, weights["conv1"], 1)
-            x = model.batch_norm(x, bn.weight, bn.bias, bn.mean, bn.var)
-            x = model.relu_composite(x, bootstrapper)
-            for layer in (1, 2, 3):
-                for blk in range(blocks):
-                    log(f"layer {layer} block {blk + 1}")
-                    pre = f"layer{layer}_{blk}"
-                    stride = 2 if (layer > 1 and blk == 0) else 1
-                    x_skip = x
-                    b1 = weights[f"{pre}_bn1"]
-                    xm = model.conv(x, weights[f"{pre}_conv1"], stride)
-                    xm = model.batch_norm(xm, b1.weight, b1.bias, b1.mean, b1.var)
-                    xm = model.relu_composite(xm, bootstrapper)
-                    b2 = weights[f"{pre}_bn2"]
-                    xm = model.conv(xm, weights[f"{pre}_conv2"], 1)
-                    xm = model.batch_norm(xm, b2.weight, b2.bias, b2.mean, b2.var)
-                    if stride == 2:
-                        bd = weights[f"{pre}_downsample_1"]
-                        x_skip = model.conv(x_skip, weights[f"{pre}_downsample_0"], 2)
-                        x_skip = model.batch_norm(
-                            x_skip, bd.weight, bd.bias, bd.mean, bd.var)
-                    x = model.add(xm, x_skip)
-                    x = model.relu_composite(x, bootstrapper)
-            return model.avg_pool_full_con(x, weights["fc_weight"], weights["fc_bias"])
-        infer = truncated
-    else:
-        infer = rn.resnet20_infer
-
     print("[inference] start")
     t1 = time.time()
     x = model.enc_tensor(image, sk=sk)
-    out = infer(x, model, boot, weights, log=lambda m: print(f"  {m} "
-                f"({time.time() - t1:.0f}s)"))
+    out = rn.resnet20_infer(
+        x, model, boot, weights, blocks=blocks,
+        log=lambda m: print(f"  {m} ({time.time() - t1:.0f}s)"),
+    )
     wall = time.time() - t1
     logits = model.dec_tensor(out, sk)[0, 0, :]
     print(f"[inference] done in {wall:.1f}s")
+    from tpu_fhe.utils import timer
+    timer.print_accumulated()
     print(f"encrypted logits: {np.round(logits, 4)}")
     print(f"predicted class:  {int(np.argmax(logits))}")
 

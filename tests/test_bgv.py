@@ -137,6 +137,28 @@ def test_rotate(bgv):
     np.testing.assert_array_equal(out.reshape(2, half), rows[::-1])
 
 
+def test_rotate_preserves_correction_factor(bgv):
+    """Rotation = keyswitch + automorphism must carry the BGV correction
+    factor through unchanged (the reference balances cf only on add,
+    src/evaluate.cu:22-84; keyswitch's t-preserving moddown adds a delta
+    that is 0 mod t, so cf is invariant).  Exercised on a ct whose cf is
+    nontrivial after a modulus switch."""
+    ctx, enc, sk, tools = bgv
+    gk = sk.galois_key([2])
+    vals = rand_slots(ctx, tools.t)
+    ct = tools.encrypt_symmetric(sk, enc.encode(vals))
+    ct2 = bg.mod_switch_to_next(tools, ct)
+    assert ct2.correction_factor != ct.correction_factor  # nontrivial cf
+    rot = bg.rotate(ctx, ct2, 2, gk)
+    assert rot.correction_factor == ct2.correction_factor
+    half = ctx.n // 2
+    rows = vals.reshape(2, half)
+    out = enc.decode(tools.decrypt(sk, rot))
+    np.testing.assert_array_equal(
+        out.reshape(2, half), np.roll(rows, -2, axis=1)
+    )
+
+
 def test_plain_ops(bgv):
     ctx, enc, sk, tools = bgv
     t = tools.t.value

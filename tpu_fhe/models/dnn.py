@@ -150,8 +150,39 @@ class DNN:
         )
 
     # -- layers -------------------------------------------------------------
-    def conv(self, t: TensorCT, weight: np.ndarray, stride: int = 1) -> TensorCT:
-        """SISO rotate-mask-accumulate convolution (Conv, src/dnn.cu:82-150).
+    def _mask_embedding(self, w: int, slotstr: int, kh: int, i: int, j: int):
+        """Cached UNSCALED embedding of the (i, j) boundary mask — the FFT
+        runs once per (geometry, tap) for the DNN's lifetime; scalar
+        weights and scales fold in linearly afterwards."""
+        key = ("emb", w, slotstr, kh, i, j)
+        got = self._pt_cache.get(key)
+        if got is not None:
+            return got
+        pow_s = 1 << slotstr
+        large_l = w * pow_s
+        c = kh // 2
+        m = np.zeros(large_l * large_l)
+        for ip in range(w):
+            for jp in range(w):
+                if 0 <= ip + i - c <= w - 1 and 0 <= jp + j - c <= w - 1:
+                    m[(ip * large_l + jp) * pow_s] = 1.0
+        emb = self.encoder.embed_for_slots(m, large_l * large_l)
+        self._pt_cache[key] = emb
+        return emb
+
+    def conv(
+        self, t: TensorCT, weight: np.ndarray, stride: int = 1,
+        cache_key: str | None = None,
+    ) -> TensorCT:
+        """SISO rotate-mask-accumulate convolution (Conv, src/dnn.cu:82-150)
+        with hoisted rotations: ONE modup per input channel shared by all
+        kh*kw taps (EvalFastRotationExt), baby-step accumulation at the
+        extended basis QlP, and a single KeySwitchDown per output channel —
+        vs. a full keyswitch per (channel, tap) in the reference.
+
+        Masks are encoded from cached embeddings in device batches
+        (encoder.encode_coeff_rows); pass cache_key (e.g. a layer name) to
+        also cache the finished plaintexts across repeated inferences.
 
         weight: (kh, kw, in_ch, out_ch); zero padding; stride 2 doubles the
         slot stride instead of moving data."""
@@ -164,41 +195,69 @@ class DNN:
         large_l = w * pow_s
         c = kh // 2
 
-        # mask zero pattern depends only on (i, j) (boundary), its value
-        # only on the weight scalar: build each boundary mask once
-        bound = {}
-        for j in range(kh):
-            for i in range(kh):
-                m = np.zeros(large_l * large_l)
-                for ip in range(w):
-                    for jp in range(w):
-                        if 0 <= ip + i - c <= w - 1 and 0 <= jp + j - c <= w - 1:
-                            m[(ip * large_l + jp) * pow_s] = 1.0
-                bound[(i, j)] = m
+        from ..eval import hoisting as hoist
+        from ..ops.galois import galois_elt_from_step
 
-        out_cts: list[Ciphertext | None] = [None] * out_ch
+        # EvalMultAuto semantics up front: operands at noise degree 1
+        cts = [
+            auto.mod_reduce(ctx, ct, 1) if ct.noise_scale_deg == 2 else ct
+            for ct in t.cts
+        ]
+        ci = cts[0].chain_index
+        sf, _ = auto.scaling_factors(ctx)
+        scale = sf[auto._level(cts[0], ctx)]
+
+        # mask plaintexts at the extended basis, batched; keyed by
+        # (tap, in_ch, out_ch) for the live (nonzero) weights
+        taps = [(i, j) for j in range(kh) for i in range(kh)]
+        live = [
+            (i, j, k, h)
+            for (i, j) in taps
+            for k in range(in_ch)
+            for h in range(out_ch)
+            if float(weight[i, j, k, h]) != 0.0
+        ]
+        pts_key = None if cache_key is None else (
+            "pts", cache_key, ci, float(scale), w, t.slotstr
+        )
+        pts = None if pts_key is None else self._pt_cache.get(pts_key)
+        if pts is None:
+            rows = (
+                self._mask_embedding(w, t.slotstr, kh, i, j)
+                * float(weight[i, j, k, h])
+                for (i, j, k, h) in live
+            )
+            pt_list = self.encoder.encode_coeff_rows(
+                rows, scale, ci, ext=True
+            )
+            pts = dict(zip(live, pt_list))
+            if pts_key is not None:
+                self._pt_cache[pts_key] = pts
+
+        out_ext: list[Ciphertext | None] = [None] * out_ch
         for k in range(in_ch):
-            # hoist: each (i, j) rotation of input channel k is shared by
-            # every output channel
+            ct = cts[k]
+            pre = hoist.fast_rotation_precompute(ctx, ct)
             rotated = {}
-            for j in range(kh):
-                for i in range(kh):
-                    rot = ((i - c) * large_l + (j - c)) * pow_s
-                    rotated[(i, j)] = (
-                        ev.rotate(ctx, t.cts[k], rot, self.gk) if rot != 0
-                        else t.cts[k]
+            for (i, j) in taps:
+                rot = ((i - c) * large_l + (j - c)) * pow_s
+                if rot == 0:
+                    rotated[(i, j)] = hoist.keyswitch_ext(ctx, ct)
+                else:
+                    elt = galois_elt_from_step(rot, ctx.n)
+                    rotated[(i, j)] = hoist.fast_rotation_ext(
+                        ctx, ct, pre, elt, self.gk.key_for_elt(elt),
+                        add_first=True,
                     )
             for h in range(out_ch):
-                for j in range(kh):
-                    for i in range(kh):
-                        wv = float(weight[i, j, k, h])
-                        if wv == 0.0:
-                            continue
-                        mask = bound[(i, j)] * wv
-                        pt = self._encode_mask(mask, rotated[(i, j)])
-                        term = auto.eval_mult_plain_auto(ctx, rotated[(i, j)], pt)
-                        out_cts[h] = term if out_cts[h] is None else \
-                            auto.eval_add_auto(ctx, out_cts[h], term)
+                for (i, j) in taps:
+                    pt = pts.get((i, j, k, h))
+                    if pt is None:
+                        continue
+                    term = hoist.eval_mult_ext(ctx, rotated[(i, j)], pt)
+                    out_ext[h] = term if out_ext[h] is None else \
+                        hoist.eval_add_ext(ctx, out_ext[h], term)
+        out_cts = [hoist.keyswitch_down(ctx, e) for e in out_ext]
         return TensorCT(
             cts=out_cts,
             width=w // stride,
@@ -242,37 +301,61 @@ class DNN:
         ]
         return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
 
+    def _boot_one(self, bootstrapper, ct: Ciphertext, slots: int) -> Ciphertext:
+        """One bootstrap under the 'Bootstrap' timer bucket (the reference's
+        Timer::startGPUTimer("Bootstrap"), src/dnn.cu:207-238); rides the
+        stage-jitted path on TPU."""
+        from ..utils import timer
+
+        use_jit = (
+            jax.default_backend() == "tpu"
+            and hasattr(bootstrapper, "eval_bootstrap_jit")
+        )
+        with timer.section("Bootstrap"):
+            if use_jit:
+                return bootstrapper.eval_bootstrap_jit(ct, slots)
+            return bootstrapper.eval_bootstrap(ct, slots=slots)
+
     def bootstrap(self, t: TensorCT, bootstrapper) -> TensorCT:
         """Per-channel EvalBootstrap at numSlots = (w << slotstr)^2
         (BootStrap, src/dnn.cu:265-276)."""
         slots = t.num_slots
-        cts = [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in t.cts]
+        cts = [self._boot_one(bootstrapper, ct, slots) for ct in t.cts]
         return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
 
     def relu_composite(self, t: TensorCT, bootstrapper) -> TensorCT:
         """ReLU(x) = x * (sign(sign(sign(0.1 x))) + 1) / 2 with three
-        interleaved bootstraps (ReluComposite, src/dnn.cu:193-243)."""
+        interleaved bootstraps (ReluComposite, src/dnn.cu:193-243).
+        Timer buckets match the reference: sign/polynomial work under
+        'Relu', each bootstrap under 'Bootstrap'."""
+        from ..utils import timer
+
         ctx = self.ctx
         slots = t.num_slots
-        sign_cts = [auto.mult_const(ctx, ct, 0.1) for ct in t.cts]
-        s = TensorCT(sign_cts, t.width, t.slotstr)
-        s = self.sign(s, 0)
+        with timer.section("Relu"):
+            sign_cts = [auto.mult_const(ctx, ct, 0.1) for ct in t.cts]
+            s = TensorCT(sign_cts, t.width, t.slotstr)
+            s = self.sign(s, 0)
         s = TensorCT(
-            [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in s.cts],
+            [self._boot_one(bootstrapper, ct, slots) for ct in s.cts],
             t.width, t.slotstr,
         )
-        s = self.sign(s, 1)
+        with timer.section("Relu"):
+            s = self.sign(s, 1)
         s = TensorCT(
-            [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in s.cts],
+            [self._boot_one(bootstrapper, ct, slots) for ct in s.cts],
             t.width, t.slotstr,
         )
-        s = self.sign(s, 2)
-        out_cts = []
-        for i, ct in enumerate(s.cts):
-            plus1 = auto.add_const(ctx, ct, 1.0)
-            halfx = auto.mult_const(ctx, t.cts[i], 0.5)
-            out_cts.append(auto.eval_mult_auto(ctx, plus1, halfx, self.mul_key))
-        out_cts = [bootstrapper.eval_bootstrap(ct, slots=slots) for ct in out_cts]
+        with timer.section("Relu"):
+            s = self.sign(s, 2)
+            out_cts = []
+            for i, ct in enumerate(s.cts):
+                plus1 = auto.add_const(ctx, ct, 1.0)
+                halfx = auto.mult_const(ctx, t.cts[i], 0.5)
+                out_cts.append(
+                    auto.eval_mult_auto(ctx, plus1, halfx, self.mul_key)
+                )
+        out_cts = [self._boot_one(bootstrapper, ct, slots) for ct in out_cts]
         return TensorCT(out_cts, t.width, t.slotstr)
 
     def softmax(

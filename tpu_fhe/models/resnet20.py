@@ -145,36 +145,49 @@ def prepare_resnet20(model: DNN, sk, width: int = 32):
 
 def resnet20_infer(
     x: TensorCT, model: DNN, bootstrapper, weights: dict,
-    log=print,
+    log=print, blocks: int = 3,
 ) -> TensorCT:
-    """ResNet20_infer (model_resnet20.cu:44-153)."""
-    bn = weights["bn1"]
-    x = model.conv(x, weights["conv1"], 1)
-    x = model.batch_norm(x, bn.weight, bn.bias, bn.mean, bn.var)
+    """ResNet20_infer (model_resnet20.cu:44-153) with the reference's
+    Timer buckets (Convolution / BatchNorm / Relu / Bootstrap / PoolFC,
+    src/dnn.cu:84-240; print with utils.timer.print_accumulated).
+    `blocks` < 3 truncates each layer for quick drives."""
+    from ..utils import timer
+
+    def conv(t, w, stride, key):
+        with timer.section("Convolution"):
+            return model.conv(t, w, stride, cache_key=key)
+
+    def bnorm(t, p):
+        with timer.section("BatchNorm"):
+            return model.batch_norm(t, p.weight, p.bias, p.mean, p.var)
+
+    x = conv(x, weights["conv1"], 1, "conv1")
+    x = bnorm(x, weights["bn1"])
     x = model.relu_composite(x, bootstrapper)
 
     for layer in (1, 2, 3):
-        for blk in range(3):
+        for blk in range(blocks):
             log(f"layer {layer} block {blk + 1}")
             pre = f"layer{layer}_{blk}"
             stride = 2 if (layer > 1 and blk == 0) else 1
             x_skip = x
-            b1 = weights[f"{pre}_bn1"]
-            x_main = model.conv(x, weights[f"{pre}_conv1"], stride)
-            x_main = model.batch_norm(x_main, b1.weight, b1.bias, b1.mean, b1.var)
+            x_main = conv(x, weights[f"{pre}_conv1"], stride, f"{pre}_conv1")
+            x_main = bnorm(x_main, weights[f"{pre}_bn1"])
             x_main = model.relu_composite(x_main, bootstrapper)
-            b2 = weights[f"{pre}_bn2"]
-            x_main = model.conv(x_main, weights[f"{pre}_conv2"], 1)
-            x_main = model.batch_norm(x_main, b2.weight, b2.bias, b2.mean, b2.var)
+            x_main = conv(x_main, weights[f"{pre}_conv2"], 1, f"{pre}_conv2")
+            x_main = bnorm(x_main, weights[f"{pre}_bn2"])
             if stride == 2:
-                bd = weights[f"{pre}_downsample_1"]
-                x_skip = model.conv(x_skip, weights[f"{pre}_downsample_0"], 2)
-                x_skip = model.batch_norm(x_skip, bd.weight, bd.bias, bd.mean, bd.var)
+                x_skip = conv(x_skip, weights[f"{pre}_downsample_0"], 2,
+                              f"{pre}_downsample_0")
+                x_skip = bnorm(x_skip, weights[f"{pre}_downsample_1"])
             x = model.add(x_main, x_skip)
             x = model.relu_composite(x, bootstrapper)
 
     log("final avgpool + fc")
-    return model.avg_pool_full_con(x, weights["fc_weight"], weights["fc_bias"])
+    with timer.section("PoolFC"):
+        return model.avg_pool_full_con(
+            x, weights["fc_weight"], weights["fc_bias"]
+        )
 
 
 def resnet20_infer_clear(image: np.ndarray, weights: dict) -> np.ndarray:

@@ -185,6 +185,63 @@ class CkksEncoder:
             for i in range(len(planes))
         ]
 
+    def embed_for_slots(self, values, slots: int) -> np.ndarray:
+        """Tile a slot vector to the full slot set and apply the inverse
+        embedding, UNSCALED.  The embedding is linear, so the result can be
+        cached and reused across scales and scalar weights:
+        encode(w * v, s) == round(embed_for_slots(v) * (w * s)) — the DNN
+        conv layer caches one embedding per boundary mask instead of
+        re-running the FFT for every (in_ch, out_ch, tap) weight
+        (the reference builds conv masks on device per tap,
+        src/dnn.cu:82-150; host-encoding each one was the round-2
+        bottleneck)."""
+        values = np.asarray(values, dtype=np.complex128).ravel()
+        if len(values) < slots:
+            values = np.pad(values, (0, slots - len(values)))
+        if slots & (slots - 1):
+            raise ValueError("slot count must be a power of two")
+        if slots > self.slots:
+            raise ValueError("too many values for ring degree")
+        return self._embed_inverse(np.tile(values, self.slots // slots))
+
+    def encode_coeff_rows(
+        self,
+        rows,
+        scale: float,
+        chain_index: int,
+        ext: bool = False,
+        noise_scale_deg: int = 1,
+        max_batch: int = 128,
+    ) -> list[Plaintext]:
+        """Encode pre-embedded coefficient rows (embed_for_slots outputs,
+        optionally already weight-multiplied): scale, round, RNS-decompose,
+        and forward-NTT in device batches of max_batch — one transfer and
+        one batched transform per chunk instead of per plaintext.  With
+        ext=True the plaintexts live at the extended basis QlP
+        (encode_ext semantics, for multiplying hoisted ciphertexts)."""
+        ctx = self.context
+        level = ctx.level(chain_index)
+        if ext:
+            base, ntt = self._ext_tables(chain_index)
+        else:
+            base, ntt = level.base, level.ntt
+        out: list[Plaintext] = []
+        rows = list(rows)
+        for start in range(0, len(rows), max_batch):
+            chunk = rows[start:start + max_batch]
+            planes = np.stack(
+                [_round_decompose(np.asarray(r) * scale, base) for r in chunk]
+            )
+            poly = forward_ntt(W64.from_np(planes), ntt)
+            out.extend(
+                Plaintext(
+                    data=poly[i], chain_index=chain_index, scale=scale,
+                    noise_scale_deg=noise_scale_deg, is_ntt_form=True,
+                )
+                for i in range(len(chunk))
+            )
+        return out
+
     def decode(self, pt: Plaintext, slots: int | None = None) -> np.ndarray:
         ctx = self.context
         level = ctx.level(pt.chain_index)
