@@ -132,7 +132,13 @@ def main():
             fetch(step(x, reps))
             return time.time() - t0
 
-        return (timed(2 + args.iters) - timed(2)) / args.iters
+        # marginal cost, median of 3 trials (single pairs go negative in
+        # the noise when per-call transport overhead ~ kernel time)
+        trials = sorted(
+            (timed(2 + args.iters) - timed(2)) / args.iters
+            for _ in range(3)
+        )
+        return trials[1]
 
     B = 8  # bytes per residue word (u32 pair)
     kernels = []

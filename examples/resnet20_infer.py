@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--width", type=int, default=32)
     ap.add_argument("--planes", type=str, default="16,32,64")
     ap.add_argument("--blocks", type=int, default=3, help="blocks per layer")
+    ap.add_argument("--layers", type=int, default=3,
+                    help="layers to run (< 3 truncates; skips final pool)")
     ap.add_argument("--weights", type=str, default="", help=".npy weight dir")
     ap.add_argument("--image", type=str, default="", help="CIFAR .npy file")
     ap.add_argument("--image-index", type=int, default=0)
@@ -62,7 +64,7 @@ def main():
         planes = (2, 2, 2)
         blocks = min(args.blocks, 1)
         sine = (28, 3, 44)          # small-ring secret: sparse sine bound
-        levels_after = 8
+        levels_after = 10
     else:
         n = args.n or 1 << 16
         width = args.width
@@ -74,8 +76,11 @@ def main():
     level_budget = (2, 2)
     boot = None  # created after context
 
-    # parameter recipe mirrors Resnet/resnet.cu:16-54
-    first_mod, dcrt_bits, aux_mod, size_p = 60, 59, 60, 10 if not args.demo else 3
+    # parameter recipe mirrors Resnet/resnet.cu:16-54, except P: the
+    # reference uses 10x60-bit special primes (dnum=3 at its depth) on an
+    # 80 GB A100; on a 16 GB v5e rotation-key HBM dominates, and P=15
+    # gives dnum=2 — keys shrink ~25% at slightly more moddown work
+    first_mod, dcrt_bits, aux_mod, size_p = 60, 59, 60, 15 if not args.demo else 3
 
     # bootstrap depth needs the sine params; compute via a throwaway helper
     from tpu_fhe.eval import chebyshev as cheb
@@ -105,7 +110,7 @@ def main():
 
     sf, _ = auto.scaling_factors(ctx)
     model = DNN(ctx, enc, scale=sf[0])
-    rn.prepare_resnet20(model, sk, width=width)
+    rn.prepare_resnet20(model, sk, width=width, layers=args.layers)
 
     slots = width * width
     boot = CkksBootstrapper(ctx, enc)
@@ -129,10 +134,17 @@ def main():
     t1 = time.time()
     x = model.enc_tensor(image, sk=sk)
     out = rn.resnet20_infer(
-        x, model, boot, weights, blocks=blocks,
+        x, model, boot, weights, blocks=blocks, layers=args.layers,
         log=lambda m: print(f"  {m} ({time.time() - t1:.0f}s)"),
     )
     wall = time.time() - t1
+    if args.layers < 3:
+        acts = model.dec_tensor(out, sk)
+        print(f"[inference] truncated ({args.layers} layers) done in "
+              f"{wall:.1f}s; activation sample {np.round(acts[0, 0, :4], 4)}")
+        from tpu_fhe.utils import timer
+        timer.print_accumulated()
+        return
     logits = model.dec_tensor(out, sk)[0, 0, :]
     print(f"[inference] done in {wall:.1f}s")
     from tpu_fhe.utils import timer

@@ -69,12 +69,17 @@ def test_rescale_past_last_level(ckks):
         ev.mod_drop_to_next(ctx, a)
 
 
-def test_multiply_size3_requires_relin(ckks):
+def test_multiply_size3_general_product(ckks):
+    """multiply now supports the general m x n tensor product (reference
+    tensor_prod_mxn_rns_poly); size-3 x size-2 yields size 4.  Relinearize
+    remains size-3-only, exactly like the reference."""
     ctx, enc, sk = ckks
     a = sk.encrypt_symmetric(enc.encode(RNG.standard_normal(ctx.n // 2), 2.0**30))
     prod = ev.multiply(ctx, a, a)
-    with pytest.raises(ValueError, match="size-2|relinearize"):
-        ev.multiply(ctx, prod, a)
+    assert ev.multiply(ctx, prod, a).size == 4
+    rlk = sk.relin_key()
+    with pytest.raises(ValueError, match="size-3|size 3"):
+        ev.relinearize(ctx, ev.multiply(ctx, prod, a), rlk)
 
 
 def test_add_at_different_levels(ckks):

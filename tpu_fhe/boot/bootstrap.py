@@ -771,11 +771,15 @@ class CkksBootstrapper:
             return auto.mult_const(ctx, final, 1.0 / power)
 
         d = auto.composite_degree(ctx)
-        if ctx.level(ct.chain_index).size < 2 * d:
+        # prelude needs (noise_scale_deg - 1) rescales to reach degree 1
+        # plus AdjustCiphertext's one rescale before RaiseMod
+        need = (1 + max(0, ct.noise_scale_deg - 1)) + 1
+        if ctx.level(ct.chain_index).size < need * d:
             raise ValueError(
-                "bootstrap input must keep at least 2 logical levels: "
-                "AdjustCiphertext rescales once before RaiseMod "
-                "(reference inputs are down-leveled to >= 2 limbs)"
+                f"bootstrap input at noise degree {ct.noise_scale_deg} must "
+                f"keep at least {need} logical levels (ModReduce to degree 1 "
+                "+ AdjustCiphertext's rescale before RaiseMod; reference "
+                "inputs are down-leveled accordingly)"
             )
         pre = self.precom[slots]
         q0 = self._anchor_product()

@@ -313,7 +313,14 @@ def key_inner_product(
     ks = level.ks
     size_Ql = level.size
     size_Q = ctx.params.size_Q
-    evk = key.data  # (dnum, 2, size_QP, N)
+    evk = key.data  # (dnum, 2, size_QP, N); q32 keys arrive as bare u32
+    if not isinstance(evk, W64):
+        # compact q32 key: hi planes are structurally zero; the q32 pallas
+        # kernels read only the lo plane, and the XLA fallback synthesizes
+        # zero hi in-program (fused, never resident in HBM)
+        import jax.numpy as _jnp
+
+        evk = W64(evk, _jnp.zeros_like(evk))
     beta = ks.beta
     n = t_mod_up.shape[-1]
 

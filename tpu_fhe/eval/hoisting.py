@@ -100,7 +100,12 @@ def eval_mult_ext(ctx: FheContext, ct_ext: Ciphertext, pt_ext: Plaintext) -> Cip
     """Multiply an ext ct by a plaintext encoded at QlP (EvalMultExt)."""
     level = ctx.level(ct_ext.chain_index)
     q, rlo, rhi = _qlp_mod(level)
-    data = mm.mul_mod(ct_ext.data, pt_ext.data[None], q, rlo, rhi)
+    pt_data = pt_ext.data
+    if not isinstance(pt_data, W64):
+        # compact q32 plaintext (u32 lo plane only): re-wrap in-program —
+        # the zero hi never lives in HBM
+        pt_data = W64(pt_data, jnp.zeros_like(pt_data))
+    data = mm.mul_mod(ct_ext.data, pt_data[None], q, rlo, rhi)
     return replace(
         ct_ext,
         data=data,

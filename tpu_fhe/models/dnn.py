@@ -207,32 +207,33 @@ class DNN:
         sf, _ = auto.scaling_factors(ctx)
         scale = sf[auto._level(cts[0], ctx)]
 
-        # mask plaintexts at the extended basis, batched; keyed by
-        # (tap, in_ch, out_ch) for the live (nonzero) weights
+        # mask plaintexts live at the extended basis QlP: ~(QlP * N * 8)
+        # bytes EACH, so a full layer's (kh*kw*in*out) set is tens of GB at
+        # N=2^16 — encode in bounded chunks per input channel and let each
+        # chunk die after its multiply-accumulate.  The finished-plaintext
+        # cache (cache_key) engages only when the whole layer fits the
+        # budget (doll-scale demos / repeated small inferences).
+        import os
+
         taps = [(i, j) for j in range(kh) for i in range(kh)]
-        live = [
-            (i, j, k, h)
-            for (i, j) in taps
-            for k in range(in_ch)
-            for h in range(out_ch)
-            if float(weight[i, j, k, h]) != 0.0
-        ]
-        pts_key = None if cache_key is None else (
+        level = ctx.level(ci)
+        qlp_rows = level.size + self.ctx.params.size_P
+        mask_bytes = qlp_rows * ctx.n * 8
+        n_live = int(np.count_nonzero(weight))
+        cache_mb = float(os.environ.get("TPU_FHE_CONV_CACHE_MB", "512"))
+        cacheable = (
+            cache_key is not None
+            and n_live * mask_bytes <= cache_mb * 1e6
+        )
+        # chunk size from a transient-HBM byte budget (encode holds the
+        # batch in + NTT out simultaneously; keys/BSGS plaintexts already
+        # occupy most of HBM at N=2^16)
+        chunk_mb = float(os.environ.get("TPU_FHE_CONV_CHUNK_MB", "128"))
+        chunk_elems = max(1, min(64, int(chunk_mb * 1e6 // mask_bytes)))
+        pts_key = None if not cacheable else (
             "pts", cache_key, ci, float(scale), w, t.slotstr
         )
-        pts = None if pts_key is None else self._pt_cache.get(pts_key)
-        if pts is None:
-            rows = (
-                self._mask_embedding(w, t.slotstr, kh, i, j)
-                * float(weight[i, j, k, h])
-                for (i, j, k, h) in live
-            )
-            pt_list = self.encoder.encode_coeff_rows(
-                rows, scale, ci, ext=True
-            )
-            pts = dict(zip(live, pt_list))
-            if pts_key is not None:
-                self._pt_cache[pts_key] = pts
+        cached = None if pts_key is None else self._pt_cache.get(pts_key)
 
         out_ext: list[Ciphertext | None] = [None] * out_ch
         for k in range(in_ch):
@@ -249,11 +250,30 @@ class DNN:
                         ctx, ct, pre, elt, self.gk.key_for_elt(elt),
                         add_first=True,
                     )
-            for h in range(out_ch):
-                for (i, j) in taps:
-                    pt = pts.get((i, j, k, h))
-                    if pt is None:
-                        continue
+            live_k = [
+                (i, j, h)
+                for h in range(out_ch)
+                for (i, j) in taps
+                if float(weight[i, j, k, h]) != 0.0
+            ]
+            for start in range(0, len(live_k), chunk_elems):
+                chunk = live_k[start:start + chunk_elems]
+                if cached is not None:
+                    pt_list = [cached[(i, j, k, h)] for (i, j, h) in chunk]
+                else:
+                    rows = (
+                        self._mask_embedding(w, t.slotstr, kh, i, j)
+                        * float(weight[i, j, k, h])
+                        for (i, j, h) in chunk
+                    )
+                    pt_list = self.encoder.encode_coeff_rows(
+                        rows, scale, ci, ext=True, max_batch=chunk_elems
+                    )
+                    if pts_key is not None:
+                        store = self._pt_cache.setdefault(pts_key, {})
+                        for (i, j, h), pt in zip(chunk, pt_list):
+                            store[(i, j, k, h)] = pt
+                for (i, j, h), pt in zip(chunk, pt_list):
                     term = hoist.eval_mult_ext(ctx, rotated[(i, j)], pt)
                     out_ext[h] = term if out_ext[h] is None else \
                         hoist.eval_add_ext(ctx, out_ext[h], term)

@@ -131,26 +131,32 @@ def load_weights(weight_dir: str) -> dict:
 # model
 # --------------------------------------------------------------------------
 
-def prepare_resnet20(model: DNN, sk, width: int = 32):
+def prepare_resnet20(model: DNN, sk, width: int = 32, layers: int = 3):
     """PrePareResNet20 (model_resnet20.cu:3-14): rotation keys for the
-    three resolutions + avgpool, relin key."""
+    three resolutions + avgpool, relin key.  `layers` < 3 generates keys
+    only for the resolutions actually visited (rotation-key HBM dominates
+    at N=2^16)."""
     rots: list[int] = []
     rots += DNN.conv_rotation_indices(width, 3, 0)
-    rots += DNN.conv_rotation_indices(width // 2, 3, 1)
-    rots += DNN.conv_rotation_indices(width // 4, 3, 2)
-    rots += DNN.avgpool_rotation_indices(width // 4, 2)
+    if layers >= 2:
+        rots += DNN.conv_rotation_indices(width // 2, 3, 1)
+    if layers >= 3:
+        rots += DNN.conv_rotation_indices(width // 4, 3, 2)
+        rots += DNN.avgpool_rotation_indices(width // 4, 2)
     model.build_galois_key(sk, rots)
     model.relin_keygen(sk)
 
 
 def resnet20_infer(
     x: TensorCT, model: DNN, bootstrapper, weights: dict,
-    log=print, blocks: int = 3,
+    log=print, blocks: int = 3, layers: int = 3,
 ) -> TensorCT:
     """ResNet20_infer (model_resnet20.cu:44-153) with the reference's
     Timer buckets (Convolution / BatchNorm / Relu / Bootstrap / PoolFC,
     src/dnn.cu:84-240; print with utils.timer.print_accumulated).
-    `blocks` < 3 truncates each layer for quick drives."""
+    `blocks` < 3 truncates each layer, `layers` < 3 drops whole layers
+    (and the final pool, whose FC shape would no longer match) — used for
+    bounded-time stage-timing runs at the full N=2^16 config."""
     from ..utils import timer
 
     def conv(t, w, stride, key):
@@ -165,7 +171,7 @@ def resnet20_infer(
     x = bnorm(x, weights["bn1"])
     x = model.relu_composite(x, bootstrapper)
 
-    for layer in (1, 2, 3):
+    for layer in (1, 2, 3)[:layers]:
         for blk in range(blocks):
             log(f"layer {layer} block {blk + 1}")
             pre = f"layer{layer}_{blk}"
@@ -183,6 +189,8 @@ def resnet20_infer(
             x = model.add(x_main, x_skip)
             x = model.relu_composite(x, bootstrapper)
 
+    if layers < 3:
+        return x  # truncated run: FC shape no longer matches
     log("final avgpool + fc")
     with timer.section("PoolFC"):
         return model.avg_pool_full_con(

@@ -83,6 +83,19 @@ class CkksEncoder:
             cache[chain_index] = got
         return got
 
+    def _maybe_compact(self, poly):
+        """q32 regime: residues < 2^30 fit the lo plane — store extended
+        (QlP) plaintexts as bare u32.  Bootstrap BSGS plaintext sets are
+        GBs at logN=16; W64-pair storage doubles that for structurally
+        zero hi planes (hoisting.eval_mult_ext re-wraps in-program)."""
+        from ..ops.ntt_pallas import NTTPlan32
+
+        if isinstance(self.context.key_level.ntt.plan, NTTPlan32):
+            import jax
+
+            return jax.jit(lambda d: d.lo)(poly)
+        return poly
+
     # -- public API -------------------------------------------------------
     def encode(
         self,
@@ -145,7 +158,7 @@ class CkksEncoder:
         full = np.tile(values, reps)
         coeffs = self._embed_inverse(full) * scale
         data = _round_decompose(coeffs, ext_base)
-        poly = forward_ntt(W64.from_np(data), ext_ntt)
+        poly = self._maybe_compact(forward_ntt(W64.from_np(data), ext_ntt))
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale,
             noise_scale_deg=noise_scale_deg, is_ntt_form=True,
@@ -176,7 +189,7 @@ class CkksEncoder:
             coeffs = self._embed_inverse(full) * scale
             planes.append(_round_decompose(coeffs, ext_base))
         batch = np.stack(planes)                     # (B, L, N)
-        poly = forward_ntt(W64.from_np(batch), ext_ntt)
+        poly = self._maybe_compact(forward_ntt(W64.from_np(batch), ext_ntt))
         return [
             Plaintext(
                 data=poly[i], chain_index=chain_index, scale=scale,
@@ -233,6 +246,8 @@ class CkksEncoder:
                 [_round_decompose(np.asarray(r) * scale, base) for r in chunk]
             )
             poly = forward_ntt(W64.from_np(planes), ntt)
+            if ext:
+                poly = self._maybe_compact(poly)
             out.extend(
                 Plaintext(
                     data=poly[i], chain_index=chain_index, scale=scale,

@@ -161,7 +161,16 @@ class SecretKey:
         dnum = (size_Q + size_P - 1) // size_P
         rng_keys = jax.random.split(self._fresh_key(), dnum)
         data = self._kswitch_jit(rng_keys, target_ntt, under_ntt)
-        return RelinKey(data, self._evk_shoup(data) if shoup else None)
+        shoup_planes = self._evk_shoup(data) if shoup else None
+        from ..ops.ntt_pallas import NTTPlan32
+
+        if isinstance(ctx.key_level.ntt.plan, NTTPlan32):
+            # q32 regime: every residue < 2^30 fits the lo plane — store
+            # keys as bare u32 (HALF the HBM; the q32 inner-product
+            # kernels only ever read evk.lo).  Key memory dominates HBM
+            # at logN=16, where W64-pair storage OOMs a 16 GB v5e.
+            data = jax.jit(lambda d: d.lo)(data)
+        return RelinKey(data, shoup_planes)
 
     def _evk_shoup(self, data: "W64"):
         """Shoup companion planes for a switching key's limbs, computed on

@@ -46,11 +46,11 @@ def _dump(fp, meta: dict, arrays: dict):
 
 
 def _load(fp) -> tuple[dict, dict]:
-    data = np.load(fp)
-    meta = json.loads(bytes(data["__meta__"]).decode())
+    npz = np.load(fp)
+    meta = json.loads(bytes(npz["__meta__"]).decode())
     if meta.get("magic") != _MAGIC:
         raise ValueError("not a tpu-fhe serialized object")
-    return meta, data
+    return meta, {k: npz[k] for k in npz.files}
 
 
 # -- ciphertext ---------------------------------------------------------------
@@ -164,25 +164,41 @@ def load_public_key(fp) -> PublicKey:
     return PublicKey(_w(data["lo"], data["hi"]))
 
 
+def _key_planes(data):
+    """Switching-key data: W64 pair, or compact u32 (q32 regime)."""
+    if isinstance(data, W64):
+        lo, hi = _planes(data)
+        return {"lo": lo, "hi": hi}
+    return {"lo": np.asarray(data)}
+
+
+def _key_from_planes(arrays, prefix=""):
+    lo = arrays[f"{prefix}lo"]
+    hi = arrays.get(f"{prefix}hi")
+    if hi is None:
+        import jax.numpy as jnp
+
+        return jnp.asarray(lo)       # compact q32 key
+    return _w(lo, hi)
+
+
 def save_relin_key(rk: RelinKey, fp):
-    lo, hi = _planes(rk.data)
-    _dump(fp, {"kind": "relin_key"}, {"lo": lo, "hi": hi})
+    _dump(fp, {"kind": "relin_key"}, _key_planes(rk.data))
 
 
 def load_relin_key(fp) -> RelinKey:
     meta, data = _load(fp)
     if meta["kind"] != "relin_key":
         raise ValueError(f"expected relin key, found {meta['kind']}")
-    return RelinKey(_w(data["lo"], data["hi"]))
+    return RelinKey(_key_from_planes(data))
 
 
 def save_galois_key(gk: GaloisKey, fp):
     arrays = {}
     elts = sorted(gk.keys)
     for elt in elts:
-        lo, hi = _planes(gk.keys[elt].data)
-        arrays[f"lo_{elt}"] = lo
-        arrays[f"hi_{elt}"] = hi
+        for name, arr in _key_planes(gk.keys[elt].data).items():
+            arrays[f"{name}_{elt}"] = arr
     _dump(fp, {"kind": "galois_key", "elts": elts}, arrays)
 
 
@@ -190,10 +206,15 @@ def load_galois_key(fp) -> GaloisKey:
     meta, data = _load(fp)
     if meta["kind"] != "galois_key":
         raise ValueError(f"expected galois key, found {meta['kind']}")
-    keys = {
-        elt: RelinKey(_w(data[f"lo_{elt}"], data[f"hi_{elt}"]))
-        for elt in meta["elts"]
-    }
+    keys = {}
+    for elt in meta["elts"]:
+        hi = data.get(f"hi_{elt}")
+        if hi is None:
+            import jax.numpy as jnp
+
+            keys[elt] = RelinKey(jnp.asarray(data[f"lo_{elt}"]))
+        else:
+            keys[elt] = RelinKey(_w(data[f"lo_{elt}"], hi))
     return GaloisKey(keys)
 
 
