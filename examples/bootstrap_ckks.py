@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--repeat", type=int, default=1,
                     help="time this many bootstrap calls (first includes "
                          "compilation; later ones are the honest latency)")
+    ap.add_argument("--iterations", default="1",
+                    help="comma list of Meta-BTS iteration counts to "
+                         "measure, e.g. '1,2' (2 = two-pass precision "
+                         "boost, ~2x latency; src/bootstrap.cu:858-906)")
+    ap.add_argument("--precision", type=int, default=0,
+                    help="Meta-BTS precision parameter (bits of the "
+                         "single-pass result; default = estimate)")
     ap.add_argument("--level-budget", default="",
                     help="C2S,S2C level budget, e.g. '3,3' (default: 2,2 "
                          "small rings; 4,4 at logn>=15 where HBM must hold "
@@ -170,21 +177,27 @@ def main():
     print(f"[input] levels before bootstrap: "
           f"{(len(ctx.chain) - 1 - ct.chain_index) // cd}")
 
-    for rep in range(args.repeat):
-        t0 = time.time()
-        out = (boot.eval_bootstrap(ct, slots) if args.eager
-               else boot.eval_bootstrap_jit(ct, slots))
-        # D2H fetch = the only reliable completion barrier over the tunnel
-        np.asarray(out.data.lo[0, 0, :4])
-        dt = time.time() - t0
-        if args.repeat > 1:
-            print(f"[bootstrap] call {rep}: {dt:.1f}s")
-    got = enc.decode(sk.decrypt(out), slots=slots).real
-    prec = compute_bit_precision(got, x)
-    levels_after = (len(ctx.chain) - 1 - out.chain_index) // cd
-    print(f"[bootstrap] {dt:.1f}s, precision={prec:.1f} bits, "
-          f"levels after={levels_after}")
-    assert prec > 10, "bootstrap precision too low"
+    prec = 0.0
+    for iters in [int(v) for v in args.iterations.split(",")]:
+        meta_prec = args.precision or max(8, int(prec))
+        for rep in range(args.repeat):
+            t0 = time.time()
+            if iters == 1:
+                out = (boot.eval_bootstrap(ct, slots) if args.eager
+                       else boot.eval_bootstrap_jit(ct, slots))
+            else:
+                out = boot.eval_bootstrap(ct, slots, iters, meta_prec)
+            # D2H fetch = the only reliable completion barrier over the tunnel
+            np.asarray(out.data.lo[0, 0, :4])
+            dt = time.time() - t0
+            if args.repeat > 1:
+                print(f"[bootstrap iters={iters}] call {rep}: {dt:.1f}s")
+        got = enc.decode(sk.decrypt(out), slots=slots).real
+        prec = compute_bit_precision(got, x)
+        levels_after = (len(ctx.chain) - 1 - out.chain_index) // cd
+        print(f"[bootstrap iters={iters}] {dt:.1f}s, precision={prec:.1f} "
+              f"bits, levels after={levels_after}")
+        assert prec > 10, "bootstrap precision too low"
     print("OK")
 
 

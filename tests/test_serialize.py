@@ -133,3 +133,46 @@ def test_blake2_hashing():
     assert len(out) == 1000
     assert out == hashing.blake2xb(b"seed", 1000)
     assert out[:64] != hashing.blake2xb(b"seed2", 64)
+
+
+def test_compact_q32_key_roundtrip():
+    """q32 switching keys store only the u32 lo plane; save/load must
+    round-trip the compact format and the loaded key must keyswitch
+    bit-identically."""
+    import jax.numpy as jnp
+
+    n = 128
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        allow_insecure=True,
+        coeff_modulus=tuple(CoeffModulus.create(n, [30, 28, 28, 29, 29])),
+        special_modulus_size=2,
+    )
+    ctx = FheContext(params)
+    enc = CkksEncoder(ctx)
+    sk = SecretKey(ctx, key=5)
+    rlk = sk.relin_key()
+    assert not hasattr(rlk.data, "hi"), "q32 key should be compact u32"
+
+    buf = io.BytesIO()
+    ser.save_relin_key(rlk, buf)
+    buf.seek(0)
+    rlk2 = ser.load_relin_key(buf)
+    np.testing.assert_array_equal(np.asarray(rlk.data), np.asarray(rlk2.data))
+
+    x = np.random.default_rng(3).uniform(-1, 1, n // 2)
+    ct = sk.encrypt_symmetric(enc.encode(x, 2.0**56))
+    prod = ev.multiply(ctx, ct, ct)
+    a = ev.relinearize(ctx, prod, rlk)
+    b = ev.relinearize(ctx, prod, rlk2)
+    np.testing.assert_array_equal(a.data.to_np(), b.data.to_np())
+
+    gk = sk.galois_key([1])
+    buf = io.BytesIO()
+    ser.save_galois_key(gk, buf)
+    buf.seek(0)
+    gk2 = ser.load_galois_key(buf)
+    r1 = ev.rotate(ctx, ct, 1, gk)
+    r2 = ev.rotate(ctx, ct, 1, gk2)
+    np.testing.assert_array_equal(r1.data.to_np(), r2.data.to_np())

@@ -88,9 +88,7 @@ class CkksEncoder:
         (QlP) plaintexts as bare u32.  Bootstrap BSGS plaintext sets are
         GBs at logN=16; W64-pair storage doubles that for structurally
         zero hi planes (hoisting.eval_mult_ext re-wraps in-program)."""
-        from ..ops.ntt_pallas import NTTPlan32
-
-        if isinstance(self.context.key_level.ntt.plan, NTTPlan32):
+        if self.context.is_q32:
             import jax
 
             return jax.jit(lambda d: d.lo)(poly)

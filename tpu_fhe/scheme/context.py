@@ -123,6 +123,16 @@ class FheContext:
     tables, which are pytrees, so everything jits cleanly.
     """
 
+    @property
+    def is_q32(self) -> bool:
+        """True when every prime is < 2^30 (the single-word kernel regime):
+        residues fit one u32, enabling compact key/plaintext storage
+        regardless of whether the Pallas plan32 builds (small rings fall
+        back to XLA kernels but keep the storage win)."""
+        from ..core.modulus import Q32_BIT_MAX
+
+        return all(m.bit_count <= Q32_BIT_MAX for m in self.key_modulus)
+
     def __init__(self, params: EncryptionParameters):
         self.params = params
         n = params.poly_modulus_degree

@@ -162,9 +162,7 @@ class SecretKey:
         rng_keys = jax.random.split(self._fresh_key(), dnum)
         data = self._kswitch_jit(rng_keys, target_ntt, under_ntt)
         shoup_planes = self._evk_shoup(data) if shoup else None
-        from ..ops.ntt_pallas import NTTPlan32
-
-        if isinstance(ctx.key_level.ntt.plan, NTTPlan32):
+        if ctx.is_q32:
             # q32 regime: every residue < 2^30 fits the lo plane — store
             # keys as bare u32 (HALF the HBM; the q32 inner-product
             # kernels only ever read evk.lo).  Key memory dominates HBM
