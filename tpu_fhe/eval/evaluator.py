@@ -245,6 +245,23 @@ def _modup_mesh(
         [own_full, w64.zeros((qlp - size_Ql, n))], axis=0
     )
 
+    # replicate the scaled coefficient rows ONCE (one all-gather of the
+    # (L, N) block) instead of letting the partitioner emit per-digit
+    # boundary gathers for every alpha-row slice below
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+        if not m.empty:
+            rep = NamedSharding(m, _P())
+            scaled = W64(
+                jax.lax.with_sharding_constraint(scaled.lo, rep),
+                jax.lax.with_sharding_constraint(scaled.hi, rep),
+            )
+    except Exception:  # pragma: no cover
+        pass
+
     digits = []
     for dt, (qhat_all, own_mask) in zip(ks.digits, per_digit):
         piece = scaled[dt.start:dt.end]
