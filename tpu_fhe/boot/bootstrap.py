@@ -430,10 +430,17 @@ class CkksBootstrapper:
         return out
 
     def keygen(self, sk: SecretKey, slots: int = 0):
-        """EvalBootstrapKeyGen + EvalMultKeyGen."""
+        """EvalBootstrapKeyGen + EvalMultKeyGen.
+
+        In the q32 regime rotation keys get Shoup companions: compact u32
+        storage halved key HBM, so data+shoup together cost what plain
+        W64-pair keys did — and the BSGS inner products ride the cheap
+        lazy-Shoup kernel."""
         slots = slots or self.ctx.n // 2
         steps = self.find_rotation_indices(slots)
-        self.galois_keys = sk.galois_key(steps, include_conj=True)
+        self.galois_keys = sk.galois_key(
+            steps, include_conj=True, shoup=self.ctx.is_q32
+        )
         self.mul_key = sk.relin_key()
         # the BSGS stage jit captures galois keys as closure constants
         self._bsgs_jit_fn = None
