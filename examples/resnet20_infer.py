@@ -115,7 +115,8 @@ def main():
     slots = width * width
     boot = CkksBootstrapper(ctx, enc)
     boot.set_sine_params(*sine)
-    boot.setup(level_budget=level_budget, slots=slots)
+    boot.setup(level_budget=level_budget, slots=slots,
+               dim1=(8, 8) if not args.demo else (0, 0))
     boot.keygen(sk, slots=slots)
     model.mul_key = boot.mul_key
     print(f"[keys+bootstrap setup] ({time.time() - t0:.1f}s)")
