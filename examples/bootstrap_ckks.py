@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--size-p", type=int, default=0,
                     help="special-modulus limb count override (larger P = "
                          "fewer KS digits = smaller rotation keys)")
+    ap.add_argument("--q32-scale-bits", type=int, default=58,
+                    help="composite working-scale bits (pair product); "
+                         "58 trades prime headroom for ~2 precision bits")
     ap.add_argument("--q32", action="store_true",
                     help="composite-scaling q32 regime: one logical level "
                          "= a pair of ~28-bit primes, every kernel single-"
@@ -123,7 +126,7 @@ def main():
         # as the 60-bit chain; P sized for dnum=2 hybrid-KS digits
         size_p = args.size_p or (depth + 1)
         mods = CoeffModulus.create_composite(
-            n, 56, depth, degree=2, anchor_bits=30,
+            n, args.q32_scale_bits, depth, degree=2, anchor_bits=30,
             special_bits=30, special_count=size_p,
         )
         nlimbs = len(mods)
