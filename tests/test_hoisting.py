@@ -88,3 +88,22 @@ def test_bsgs_accumulation_at_ext_basis(stack):
     got = enc.decode(sk.decrypt(out)).real
     expect = np.roll(x, -1) * w1 + np.roll(x, -2) * w2
     np.testing.assert_allclose(got, expect, atol=1e-2)
+
+
+def test_hoisted_rotation_sum_matches_sequential(stack):
+    """hoisted_rotation_sum == sum of individual rotations (reference
+    hoisting_inplace semantics, src/evaluate.cu:1922-2130)."""
+    import numpy as np
+
+    from tpu_fhe.eval import evaluator as ev, hoisting as hst
+
+    ctx, enc, sk = stack
+    steps = [0, 1, 3]
+    gk = sk.galois_key([s for s in steps if s])
+    x = np.random.default_rng(5).standard_normal(ctx.n // 2)
+    ct = sk.encrypt_symmetric(enc.encode(x, 2.0**40))
+
+    got = hst.hoisted_rotation_sum(ctx, ct, steps, gk)
+    dec = enc.decode(sk.decrypt(got)).real
+    expect = sum(np.roll(x, -s) for s in steps)
+    np.testing.assert_allclose(dec, expect, atol=1e-3)

@@ -131,3 +131,27 @@ def rotate_c0(ctx: FheContext, ct: Ciphertext, elt: int) -> Ciphertext:
     src/evaluate.cu:3981)."""
     c0 = apply_galois_ntt(ct.data[0], elt, ctx.n)
     return ct.with_data(w64.concat([c0[None], ct.data[1:]], axis=0))
+
+
+def hoisted_rotation_sum(ctx: FheContext, ct: Ciphertext, steps, gk) -> Ciphertext:
+    """sum over `steps` of rotate(ct, step) with ONE modup shared across
+    every rotation and ONE moddown at the end (reference hoisting_inplace,
+    src/evaluate.cu:1922-2130; our fused-key form accumulates at the
+    extended basis instead of rotating each digit).  Step 0 contributes
+    the unrotated ct."""
+    from ..ops.galois import galois_elt_from_step
+
+    if ct.size != 2:
+        raise ValueError("hoisted rotation-sum expects a size-2 ciphertext")
+    pre = fast_rotation_precompute(ctx, ct)
+    acc = None
+    for step in steps:
+        elt = galois_elt_from_step(step, ctx.n)
+        if elt == 1:
+            term = keyswitch_ext(ctx, ct)
+        else:
+            term = fast_rotation_ext(
+                ctx, ct, pre, elt, gk.key_for_elt(elt), add_first=True
+            )
+        acc = term if acc is None else eval_add_ext(ctx, acc, term)
+    return keyswitch_down(ctx, acc)
