@@ -167,3 +167,25 @@ def test_chebyshev_ps(stack):
     out = cheb.eval_chebyshev_series(ctx, ct, rlk, coeffs, -1.0, 1.0)
     expect = np.array([f(t) for t in x])
     np.testing.assert_allclose(_dec(stack, out), expect, atol=2e-2)
+
+
+def test_add_auto_snaps_small_scale_drift(stack):
+    """FLEXIBLEAUTO add/sub tolerates ladder-scale drift <5% (the
+    reference disables the scale check entirely, src/evaluate.cu:315-320;
+    Meta-BTS subtracts across such pairs) but still rejects real
+    mismatches."""
+    from dataclasses import replace as _replace
+
+    import numpy as np
+    import pytest as _pytest
+
+    ctx, enc, sk, rlk = stack
+    x = np.random.default_rng(8).uniform(-1, 1, ctx.n // 2)
+    ct = sk.encrypt_symmetric(enc.encode(x, 2.0**40))
+    drifted = _replace(ct, scale=ct.scale * 1.01)
+    out = auto.eval_add_auto(ctx, ct, drifted)   # must not raise
+    got = enc.decode(sk.decrypt(out)).real
+    np.testing.assert_allclose(got, 2 * x, atol=0.05)
+    way_off = _replace(ct, scale=ct.scale * 2.0)
+    with _pytest.raises(ValueError, match="scale"):
+        auto.eval_add_auto(ctx, ct, way_off)

@@ -271,13 +271,31 @@ def _adjust_lower(
 # auto ops
 # --------------------------------------------------------------------------
 
+def _snap_scales(a: Ciphertext, b: Ciphertext):
+    """FLEXIBLEAUTO add/sub tolerance: after level/depth adjustment the
+    two operands' ladder scales can still differ by the per-level
+    sf-ratio drift (sf[k] all sit near 2^p within the (0.5, 2) window,
+    but are not equal across levels).  The reference deliberately
+    DISABLES the scale check in sub_inplace (src/evaluate.cu:315-320) and
+    proceeds — Meta-BTS subtracts its error term across such a pair.  We
+    bound the same behavior: within 5% relative, unify metadata to a's
+    scale (introduces the same bounded relative error the reference
+    accepts); beyond that it is a real usage bug and still raises."""
+    if a.chain_index == b.chain_index and b.scale != a.scale:
+        if abs(a.scale - b.scale) < 0.05 * abs(a.scale):
+            b = replace(b, scale=a.scale)
+    return a, b
+
+
 def eval_add_auto(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     a, b = adjust_levels_and_depth(ctx, a, b)
+    a, b = _snap_scales(a, b)
     return ev.add(ctx, a, b)
 
 
 def eval_sub_auto(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     a, b = adjust_levels_and_depth(ctx, a, b)
+    a, b = _snap_scales(a, b)
     return ev.sub(ctx, a, b)
 
 
