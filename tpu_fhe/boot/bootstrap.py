@@ -435,11 +435,20 @@ class CkksBootstrapper:
         In the q32 regime rotation keys get Shoup companions: compact u32
         storage halved key HBM, so data+shoup together cost what plain
         W64-pair keys did — and the BSGS inner products ride the cheap
-        lazy-Shoup kernel."""
+        lazy-Shoup kernel.  TPU_FHE_BOOT_KEY_SHOUP=0 turns the
+        companions off: at the largest configs (scale-58 pairs push the
+        logN=16 chain to ~87 limbs) the doubled key HBM no longer fits a
+        16 GB chip and latency must be traded for residency."""
+        import os
+
         slots = slots or self.ctx.n // 2
         steps = self.find_rotation_indices(slots)
+        want_shoup = (
+            self.ctx.is_q32
+            and os.environ.get("TPU_FHE_BOOT_KEY_SHOUP", "1") != "0"
+        )
         self.galois_keys = sk.galois_key(
-            steps, include_conj=True, shoup=self.ctx.is_q32
+            steps, include_conj=True, shoup=want_shoup
         )
         self.mul_key = sk.relin_key()
         # the BSGS stage jit captures galois keys as closure constants

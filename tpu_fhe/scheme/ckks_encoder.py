@@ -27,10 +27,16 @@ from .context import FheContext
 
 
 class CkksEncoder:
-    def __init__(self, context: FheContext):
+    def __init__(self, context: FheContext, device_embed: bool | None = None):
         self.context = context
         self.n = context.n
         self.slots = self.n // 2
+        if device_embed is None:
+            import os
+
+            device_embed = os.environ.get("TPU_FHE_DEVICE_EMBED", "") == "1"
+        self.device_embed = device_embed and self.slots >= 2
+        self._dev_embedding = None
         two_n = 2 * self.n
         # rotation-group exponents: e_j = 5^j mod 2N for j in [0, N/2)
         e = np.empty(self.slots, dtype=np.int64)
@@ -41,8 +47,22 @@ class CkksEncoder:
         self.rot_group = e
 
     # -- embedding ------------------------------------------------------
+    @property
+    def device_embedding(self):
+        """On-device special FFT (ops/special_fft.py): the TPU-native
+        counterpart of the reference's src/fft.cu encoder kernels, in
+        double-double f32.  Built lazily; enabled for encode/decode by
+        device_embed=True (or TPU_FHE_DEVICE_EMBED=1)."""
+        if self._dev_embedding is None:
+            from ..ops.special_fft import DeviceEmbedding
+
+            self._dev_embedding = DeviceEmbedding(self.slots)
+        return self._dev_embedding
+
     def _embed_inverse(self, values: np.ndarray) -> np.ndarray:
         """slots (complex, len N/2) -> real coefficient vector (len N)."""
+        if self.device_embed:
+            return self.device_embedding.embed_inverse(values)
         n, two_n = self.n, 2 * self.n
         # m_t = (1/N) * sum_j [ z_j * zeta^{-e_j t} + conj(z_j) zeta^{e_j t} ]
         #     = (2/N) * Re( sum_j z_j * zeta^{-e_j t} )
@@ -57,6 +77,8 @@ class CkksEncoder:
 
     def _embed_forward(self, coeffs: np.ndarray) -> np.ndarray:
         """real coefficients (len N) -> slot values (complex, len N/2)."""
+        if self.device_embed:
+            return self.device_embedding.embed_forward(coeffs)
         two_n = 2 * self.n
         padded = np.zeros(two_n, dtype=np.complex128)
         padded[: self.n] = coeffs
