@@ -90,3 +90,31 @@ def test_encoder_device_path_end_to_end():
     # decode through the device path too
     out_dev = enc_dev.decode(sk.decrypt(ct), slots=n // 2)
     np.testing.assert_allclose(out_dev.real, x, atol=1e-6)
+
+
+@pytest.mark.parametrize("device", [False, True])
+def test_sparse_encode_fast_path_matches_tiled(device):
+    """Sparse-packing fast path (small transform + stride scatter,
+    reference src/ckks.cu:19-43) must equal the tile-then-full-FFT
+    path exactly (host) / to dd accuracy (device)."""
+    n = 512
+    ctx = _ckks_ctx(n)
+    enc = CkksEncoder(ctx, device_embed=device)
+    for m in [2, 8, 64]:
+        z = RNG.normal(size=m) + 1j * RNG.normal(size=m)
+        fast = enc._embed_inverse_slots(z, m)
+        host = CkksEncoder(ctx, device_embed=False)
+        tiled = host._embed_inverse(np.tile(z, (n // 2) // m))
+        np.testing.assert_allclose(fast, tiled, rtol=0, atol=1e-10)
+
+
+def test_sparse_encode_decrypt_roundtrip():
+    n = 256
+    ctx = _ckks_ctx(n)
+    enc = CkksEncoder(ctx)
+    sk = SecretKey(ctx, key=5)
+    m = 16
+    x = RNG.uniform(-1, 1, m)
+    ct = sk.encrypt_symmetric(enc.encode(x, 2.0**40, slots=m))
+    out = enc.decode(sk.decrypt(ct), slots=m)
+    np.testing.assert_allclose(out.real, x, atol=1e-6)

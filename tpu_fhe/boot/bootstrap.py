@@ -435,18 +435,36 @@ class CkksBootstrapper:
         In the q32 regime rotation keys get Shoup companions: compact u32
         storage halved key HBM, so data+shoup together cost what plain
         W64-pair keys did — and the BSGS inner products ride the cheap
-        lazy-Shoup kernel.  TPU_FHE_BOOT_KEY_SHOUP=0 turns the
-        companions off: at the largest configs (scale-58 pairs push the
-        logN=16 chain to ~87 limbs) the doubled key HBM no longer fits a
-        16 GB chip and latency must be traded for residency."""
+        lazy-Shoup kernel — but only while keys + BSGS plaintexts + the
+        bootstrap working set still fit HBM.  At the largest configs
+        (logN=16 full pack, 78+ limbs) the doubled key bytes push the
+        program over a 16 GB chip (measured: C2S dies ResourceExhausted
+        with companions, runs without), so the default is gated on an
+        estimate of resident key bytes; TPU_FHE_BOOT_KEY_SHOUP=1/0
+        forces either way, TPU_FHE_HBM_BUDGET (bytes) tunes the cap."""
         import os
 
-        slots = slots or self.ctx.n // 2
+        ctx = self.ctx
+        slots = slots or ctx.n // 2
         steps = self.find_rotation_indices(slots)
-        want_shoup = (
-            self.ctx.is_q32
-            and os.environ.get("TPU_FHE_BOOT_KEY_SHOUP", "1") != "0"
-        )
+        forced = os.environ.get("TPU_FHE_BOOT_KEY_SHOUP", "")
+        if forced in ("0", "1"):
+            want_shoup = ctx.is_q32 and forced == "1"
+        else:
+            want_shoup = ctx.is_q32
+            if want_shoup:
+                # resident key estimate: (rotations + conj + relin) fused
+                # keys, each dnum digits x 2 components x sizeQP limb
+                # planes of N u32 words; Shoup doubles it.  Keys are ~half
+                # the footprint (plaintexts + working set are the rest),
+                # so cap key bytes at ~40% of the budget.
+                data_ks = ctx.level(1).ks
+                dnum = len(data_ks.digits) if data_ks is not None else 2
+                n_keys = len(steps) + 2
+                key_bytes = n_keys * dnum * 2 * ctx.level(0).size * ctx.n * 4
+                budget = int(os.environ.get("TPU_FHE_HBM_BUDGET",
+                                            15 * 2**30))
+                want_shoup = 2 * key_bytes <= int(0.4 * budget)
         self.galois_keys = sk.galois_key(
             steps, include_conj=True, shoup=want_shoup
         )

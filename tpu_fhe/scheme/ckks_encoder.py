@@ -59,6 +59,50 @@ class CkksEncoder:
             self._dev_embedding = DeviceEmbedding(self.slots)
         return self._dev_embedding
 
+    def _embed_inverse_slots(self, values: np.ndarray, slots: int) -> np.ndarray:
+        """Sparse-packing fast path (reference encode_sparse +
+        extend_sparse_ckks, src/ckks.cu:19-43): the embedding of a slot
+        vector tiled to the full slot set equals the ring-degree-2m
+        embedding of the m-slot vector scattered at coefficient stride
+        N/(2m) (verified exact: the tiled spectrum is nonzero only on
+        the 5^j orbit of the subring).  For m << N/2 (DNN conv masks,
+        ResNet w*w packing) this is a ~N/(2m)-fold smaller transform
+        than tiling first."""
+        if slots == self.slots or slots < 2:
+            reps = self.slots // max(slots, 1)
+            return self._embed_inverse(np.tile(values, reps))
+        gap = self.n // (2 * slots)
+        if self.device_embed:
+            small = self.device_embedding_for(slots).embed_inverse(values)
+        else:
+            small = _host_embed_inverse(values, 2 * slots,
+                                        self._rot_group_for(2 * slots))
+        out = np.zeros(values.shape[:-1] + (self.n,), dtype=np.float64)
+        out[..., ::gap] = small
+        return out
+
+    def _rot_group_for(self, n_ring: int) -> np.ndarray:
+        cache = self.__dict__.setdefault("_rot_cache", {})
+        got = cache.get(n_ring)
+        if got is None:
+            two_n = 2 * n_ring
+            e = np.empty(n_ring // 2, dtype=np.int64)
+            cur = 1
+            for j in range(n_ring // 2):
+                e[j] = cur
+                cur = (cur * 5) % two_n
+            got = cache[n_ring] = e
+        return got
+
+    def device_embedding_for(self, slots: int):
+        cache = self.__dict__.setdefault("_dev_cache", {})
+        got = cache.get(slots)
+        if got is None:
+            from ..ops.special_fft import DeviceEmbedding
+
+            got = cache[slots] = DeviceEmbedding(slots)
+        return got
+
     def _embed_inverse(self, values: np.ndarray) -> np.ndarray:
         """slots (complex, len N/2) -> real coefficient vector (len N)."""
         if self.device_embed:
@@ -137,10 +181,8 @@ class CkksEncoder:
             raise ValueError("slot count must be a power of two")
         if slots > self.slots:
             raise ValueError("too many values for ring degree")
-        reps = self.slots // slots
-        full = np.tile(values, reps)
 
-        coeffs = self._embed_inverse(full) * scale
+        coeffs = self._embed_inverse_slots(values, slots) * scale
         # bound check before the exact round+decompose (float -> int is
         # exact at any magnitude; the fast path uses vector int64, the
         # fallback object ints — never float modulo, which would corrupt
@@ -174,9 +216,7 @@ class CkksEncoder:
         slots = slots if slots is not None else len(values)
         if slots & (slots - 1):
             raise ValueError("slot count must be a power of two")
-        reps = self.slots // slots
-        full = np.tile(values, reps)
-        coeffs = self._embed_inverse(full) * scale
+        coeffs = self._embed_inverse_slots(values, slots) * scale
         data = _round_decompose(coeffs, ext_base)
         poly = self._maybe_compact(forward_ntt(W64.from_np(data), ext_ntt))
         return Plaintext(
@@ -205,8 +245,7 @@ class CkksEncoder:
             s = slots if slots is not None else len(values)
             if s & (s - 1):
                 raise ValueError("slot count must be a power of two")
-            full = np.tile(values, self.slots // s)
-            coeffs = self._embed_inverse(full) * scale
+            coeffs = self._embed_inverse_slots(values, s) * scale
             planes.append(_round_decompose(coeffs, ext_base))
         batch = np.stack(planes)                     # (B, L, N)
         poly = self._maybe_compact(forward_ntt(W64.from_np(batch), ext_ntt))
@@ -235,7 +274,7 @@ class CkksEncoder:
             raise ValueError("slot count must be a power of two")
         if slots > self.slots:
             raise ValueError("too many values for ring degree")
-        return self._embed_inverse(np.tile(values, self.slots // slots))
+        return self._embed_inverse_slots(values, slots)
 
     def encode_coeff_rows(
         self,
@@ -289,6 +328,17 @@ class CkksEncoder:
         if slots is not None:
             vals = vals[:slots]
         return vals
+
+
+def _host_embed_inverse(values: np.ndarray, n_ring: int,
+                        rot_group: np.ndarray) -> np.ndarray:
+    """Ring-degree-parametric host inverse embedding (same math as
+    CkksEncoder._embed_inverse, reused for sparse sub-rings)."""
+    two_n = 2 * n_ring
+    spec = np.zeros(two_n, dtype=np.complex128)
+    np.add.at(spec, rot_group % two_n, np.asarray(values, np.complex128))
+    s = np.fft.fft(spec)[:n_ring]
+    return (2.0 / n_ring) * s.real
 
 
 def _round_decompose(coeffs: np.ndarray, base: RNSBase) -> np.ndarray:
