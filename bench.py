@@ -31,6 +31,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _marginal_ms(timed, iters, name, pairs=5):
+    """Median-of-pairs marginal timing with a positivity guard.
+
+    The r03 headline went negative because a single (t_long - t_short)
+    difference is exposed to one slow sample (tunnel hiccup / background
+    recompile).  Mirror the reference harness's stable-sampling approach
+    (/root/reference/benchmark/keyswitch_bench.cu:10-13, nvbench): take
+    several independent pairs, keep only positive marginals, report the
+    median, and print the spread so drift is visible.
+    """
+    samples = []
+    for _ in range(pairs):
+        t_short = timed(2)
+        t_long = timed(2 + iters)
+        dt = (t_long - t_short) / iters
+        if dt > 0:
+            samples.append(dt)
+    if not samples:
+        # pathological timing environment: fall back to direct per-op
+        # time (upper bound — includes dispatch, but always positive)
+        samples = [timed(iters) / iters for _ in range(3)]
+    samples.sort()
+    med = samples[len(samples) // 2]
+    spread = (samples[-1] - samples[0]) / med if med else float("inf")
+    log(f"{name} {med*1e3:.2f} ms/op (median of {len(samples)} marginal "
+        f"pairs, spread {spread*100:.0f}%)")
+    return med
+
+
 def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     import jax
     from tpu_fhe.core.modulus import CoeffModulus
@@ -98,8 +127,7 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
         return time.time() - t0
 
     timed(2)
-    dt = (timed(2 + iters) - timed(2)) / iters
-    log(f"keyswitch {dt*1e3:.2f} ms/op (marginal)")
+    dt = _marginal_ms(timed, iters, "keyswitch")
     return 1.0 / dt
 
 
@@ -127,7 +155,8 @@ def bench_ntt(n, limbs, iters=50):
         return time.time() - t0
 
     timed(2)  # compile + warm
-    dt = (timed(2 + iters) - timed(2)) / iters
+    dt = _marginal_ms(timed, iters, f"NTT logN={n.bit_length()-1} x{limbs}",
+                      pairs=3)
     log(f"NTT logN={n.bit_length()-1} x{limbs} limbs: {dt*1e3:.3f} ms "
         f"({limbs/dt:.0f} limb-NTT/s)")
     return limbs / dt

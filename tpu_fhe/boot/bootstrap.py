@@ -460,7 +460,13 @@ class CkksBootstrapper:
                 # so cap key bytes at ~40% of the budget.
                 data_ks = ctx.level(1).ks
                 dnum = len(data_ks.digits) if data_ks is not None else 2
-                n_keys = len(steps) + 2
+                # count unique automorphism elements: galois_key dedups
+                # via set(elts), and find_rotation_indices commonly yields
+                # duplicate/zero steps across stages (+2: conj + relin)
+                from ..ops.galois import galois_elt_from_step
+                elts = {galois_elt_from_step(s, ctx.n)
+                        for s in steps if s % (ctx.n // 2) != 0}
+                n_keys = len(elts) + 2
                 key_bytes = n_keys * dnum * 2 * ctx.level(0).size * ctx.n * 4
                 budget = int(os.environ.get("TPU_FHE_HBM_BUDGET",
                                             15 * 2**30))

@@ -178,6 +178,26 @@ def from_dd(planes) -> np.ndarray:
     return (arrs[0] + arrs[1]) + 1j * (arrs[2] + arrs[3])
 
 
+def _host_special_ifft_oracle(emb, v: np.ndarray) -> np.ndarray:
+    """complex128 host evaluation of the same inverse transform (same
+    stages/twiddles as DeviceEmbedding._inv_fn); accuracy oracle only."""
+    n = emb.n
+    x = np.asarray(v, np.complex128).copy()
+    length = n
+    while length >= 2:
+        s = length.bit_length() - 2
+        lenh = length >> 1
+        t = emb._tw_inv[s]
+        tw = (np.asarray(t[0], np.float64) + np.asarray(t[1], np.float64)
+              + 1j * (np.asarray(t[2], np.float64)
+                      + np.asarray(t[3], np.float64)))
+        x = x.reshape(n // length, length)
+        u, w = x[:, :lenh], x[:, lenh:]
+        x = np.concatenate([u + w, (u - w) * tw], axis=1).reshape(n)
+        length >>= 1
+    return x[emb._perm] / n
+
+
 def _bit_reverse_perm(n: int) -> np.ndarray:
     logn = n.bit_length() - 1
     idx = np.arange(n)
@@ -211,7 +231,6 @@ class DeviceEmbedding:
         length = 2
         while length <= n:
             lenh, lenq = length >> 1, length << 2
-            j = np.arange(lenh)
             idx_f = (rot[:lenh] % lenq) * (m // lenq) % m
             idx_i = (lenq - (rot[:lenh] % lenq)) * (m // lenq) % m
             ang = 2.0 * np.pi / m
@@ -299,8 +318,35 @@ class DeviceEmbedding:
                     compiler_options={"xla_disable_hlo_passes": "fusion"})
             except Exception:
                 got = jax.jit(fn)
+                self._check_fallback_accuracy()
             cache[key] = got
         return got
+
+    def _check_fallback_accuracy(self):
+        """One-shot numeric self-check for backends that reject
+        xla_disable_hlo_passes: if XLA's fusion duplication collapses the
+        double-double transforms to ~f32 accuracy, say so loudly instead
+        of silently injecting encode noise."""
+        if self.__dict__.get("_fallback_checked"):
+            return
+        self._fallback_checked = True
+        import warnings
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(self.n) + 1j * rng.standard_normal(self.n)
+        planes = to_dd(v)
+        out = jax.jit(self._inv_fn)(planes)
+        rh, rl, ih, il = (np.asarray(p, np.float64) for p in out)
+        got = np.concatenate([rh + rl, ih + il], axis=-1)
+        refc = _host_special_ifft_oracle(self, v)
+        ref = np.concatenate([refc.real, refc.imag], axis=-1)
+        err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-300)
+        if err > 2.0 ** -40:
+            warnings.warn(
+                "DeviceEmbedding: backend rejected xla_disable_hlo_passes "
+                f"and the plain-jit fallback loses accuracy (rel err "
+                f"{err:.2e} > 2^-40); device encode/decode will inject "
+                "noise — prefer host embedding on this backend",
+                RuntimeWarning, stacklevel=3)
 
     # -- public API -----------------------------------------------------
     def embed_inverse(self, values: np.ndarray) -> np.ndarray:

@@ -68,6 +68,10 @@ class CkksEncoder:
         the 5^j orbit of the subring).  For m << N/2 (DNN conv masks,
         ResNet w*w packing) this is a ~N/(2m)-fold smaller transform
         than tiling first."""
+        if slots > self.slots:
+            raise ValueError(
+                f"too many values for ring degree: {slots} slots > "
+                f"{self.slots} available (N={self.n})")
         if slots == self.slots or slots < 2:
             reps = self.slots // max(slots, 1)
             return self._embed_inverse(np.tile(values, reps))
