@@ -85,7 +85,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--mode", choices=["batch", "limb"], default="limb")
+    ap.add_argument("--mode", choices=["batch", "limb", "bsgs"],
+                    default="limb")
     ap.add_argument("--logn", type=int, default=12)
     ap.add_argument("--limbs", type=int, default=16, help="data limbs")
     ap.add_argument("--special", type=int, default=4)
@@ -108,6 +109,10 @@ def main():
     from tpu_fhe.scheme.ciphertext import Ciphertext
     from tpu_fhe.scheme.context import FheContext
     from tpu_fhe.scheme.keys import RelinKey, SecretKey
+
+    if args.mode == "bsgs":
+        bench_bsgs(args)
+        return
 
     n = 1 << args.logn
     bits = [40] + [40] * (args.limbs - 1) + [40] * args.special
@@ -211,6 +216,87 @@ def main():
             # efficiency (see module docstring).
             eff = rate / base_rate
             print(f"{m:>8} {rate:>10.2f} {eff:>11.1%}")
+
+
+def bench_bsgs(args):
+    """Limb-sharded bootstrap BSGS level scaling (the flagship workload's
+    hot structure under the mesh; VERDICT r03 item 5).  Same CPU-mesh
+    caveat as --mode limb: the honest metric is sharding-overhead
+    efficiency rate(m)/rate(1)."""
+    import jax
+
+    from tpu_fhe.boot.bootstrap import CkksBootstrapper
+    from tpu_fhe.core.modulus import CoeffModulus
+    from tpu_fhe.core.params import EncryptionParameters, SchemeType
+    from tpu_fhe.eval import auto
+    from tpu_fhe.parallel import boot_sharded as bs
+    from tpu_fhe.parallel import sharding as sh
+    from tpu_fhe.scheme.ckks_encoder import CkksEncoder
+    from tpu_fhe.scheme.context import FheContext
+    from tpu_fhe.scheme.keys import SecretKey
+
+    n = 1 << args.logn
+    slots = min(64, n // 4)
+    bits = [60] + [59] * (args.limbs - 1) + [60] * args.special
+    params = EncryptionParameters(
+        scheme=SchemeType.ckks,
+        poly_modulus_degree=n,
+        allow_insecure=True,
+        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+        special_modulus_size=args.special,
+    )
+    ctx = FheContext(params)
+    enc = CkksEncoder(ctx)
+    sk = SecretKey(ctx, key=7)
+    boot = CkksBootstrapper(ctx, enc)
+    boot.set_sine_params(28, 3, 44)
+    boot.setup(level_budget=(2, 2), slots=slots)
+    boot.keygen(sk, slots=slots)
+    pt = enc.encode(np.linspace(-0.8, 0.8, slots), 2.0 ** 59,
+                    chain_index=1, slots=slots)
+    ct = auto.mod_switch_level(ctx, sk.encrypt_symmetric(pt), 1)
+
+    si, rot_in, rot_out, b, g, num_rot, _ = boot.c2s_stage_plans(slots)[0]
+    A = boot.precom[slots].a_c2s[si]
+    keys = boot._keys_for(rot_in, rot_out)
+    log(f"mode=bsgs logN={args.logn} limbs={args.limbs}+{args.special} "
+        f"slots={slots} b={b} g={g}")
+
+    ndev = len(jax.devices())
+    base_rate = None
+    print(f"{'devices':>8} {'level/s':>10} {'overhead-eff':>12}")
+    m = 1
+    while m <= ndev:
+        mesh = sh.make_mesh(1, m)
+        data_s = jax.device_put(ct.data, sh.ct_sharding(mesh))
+        keys_s = bs._shard_keys(keys, mesh)
+
+        def level_fn(c_data, ks):
+            return boot._bsgs_level(
+                ct.with_data(c_data), A, ks, rot_in, rot_out, b, g, num_rot
+            ).data
+
+        step = jax.jit(level_fn)
+        with mesh:
+            compiled = step.lower(data_s, keys_s).compile()
+            stats = bs.collective_stats(compiled.as_text())
+            log(f"  [{m}d] collectives: {stats or 'none (fully local)'}")
+
+            def run(reps):
+                t0 = time.time()
+                for _ in range(reps):
+                    y = compiled(data_s, keys_s)
+                np.asarray(y.lo[0, 0, :4])
+                return time.time() - t0
+
+            run(1)
+            run(1)
+            dt = (run(1 + args.iters) - run(1)) / args.iters
+        rate = 1.0 / dt
+        if base_rate is None:
+            base_rate = rate
+        print(f"{m:>8} {rate:>10.2f} {rate / base_rate:>11.1%}")
+        m *= 2
 
 
 if __name__ == "__main__":

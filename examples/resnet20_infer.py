@@ -40,12 +40,25 @@ def main():
     ap.add_argument("--weights", type=str, default="", help=".npy weight dir")
     ap.add_argument("--image", type=str, default="", help="CIFAR .npy file")
     ap.add_argument("--image-index", type=int, default=0)
+    ap.add_argument("--ckpt", type=str, default="",
+                    help="checkpoint dir: save the tensor after every stage "
+                         "and resume from the last one on restart")
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="wall-clock seconds: checkpoint and exit(3) when "
+                         "exceeded (run again to continue)")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the full-scale stage programs cost tens of
+    # minutes cold; across chunked runs they must come back from disk
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("TPU_FHE_COMPILE_CACHE", "/tmp/jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from tpu_fhe.boot.bootstrap import CkksBootstrapper
     from tpu_fhe.core.modulus import CoeffModulus
@@ -62,7 +75,7 @@ def main():
         n = args.n or 256
         width = min(args.width, 8)
         planes = (2, 2, 2)
-        blocks = min(args.blocks, 1)
+        blocks = min(args.blocks, 3)
         sine = (28, 3, 44)          # small-ring secret: sparse sine bound
         levels_after = 10
     else:
@@ -133,11 +146,37 @@ def main():
 
     print("[inference] start")
     t1 = time.time()
-    x = model.enc_tensor(image, sk=sk)
-    out = rn.resnet20_infer(
-        x, model, boot, weights, blocks=blocks, layers=args.layers,
-        log=lambda m: print(f"  {m} ({time.time() - t1:.0f}s)"),
-    )
+    start_after = ""
+    if args.ckpt and _os.path.exists(f"{args.ckpt}/meta.json"):
+        x, meta = rn.load_tensor_ct(args.ckpt)
+        start_after = meta["stage"]
+        print(f"[resume] from checkpoint after stage {start_after!r}")
+    else:
+        x = model.enc_tensor(image, sk=sk)
+
+    class _Budget(Exception):
+        pass
+
+    def stage_done(name, t):
+        if args.ckpt:
+            ts = time.time()
+            rn.save_tensor_ct(t, args.ckpt, stage=name)
+            print(f"  [ckpt] saved after {name} ({time.time() - ts:.0f}s)")
+        if args.budget and time.time() - t1 > args.budget:
+            raise _Budget(name)
+
+    try:
+        out = rn.resnet20_infer(
+            x, model, boot, weights, blocks=blocks, layers=args.layers,
+            log=lambda m: print(f"  {m} ({time.time() - t1:.0f}s)"),
+            start_after=start_after, on_stage_done=stage_done,
+        )
+    except _Budget as e:
+        from tpu_fhe.utils import timer
+        print(f"[budget] exceeded after stage {e} "
+              f"({time.time() - t1:.0f}s); checkpointed — rerun to continue")
+        timer.print_accumulated()
+        _sys.exit(3)
     wall = time.time() - t1
     if args.layers < 3:
         acts = model.dec_tensor(out, sk)

@@ -477,6 +477,7 @@ class CkksBootstrapper:
         self.mul_key = sk.relin_key()
         # the BSGS stage jit captures galois keys as closure constants
         self._bsgs_jit_fn = None
+        self.__dict__.pop("_bsgs_jit_fn_batched", None)
 
     # ------------------------------------------------------------------
     def adjust_ciphertext(self, ct: Ciphertext, correction: float) -> Ciphertext:
@@ -531,15 +532,21 @@ class CkksBootstrapper:
             return True
         return jax.default_backend() == "tpu"
 
-    def _bsgs_jit(self):
-        if not self._stage_jit_enabled():
-            return self._bsgs_level
-        fn = self.__dict__.get("_bsgs_jit_fn")
-        if fn is None:
-            import jax
+    _BSGS_VMAP_AXES = (0, None, None, None, None, None, None, None)
 
-            fn = jax.jit(self._bsgs_level, static_argnums=(3, 4, 5, 6, 7))
-            self._bsgs_jit_fn = fn
+    def _bsgs_jit(self, batched: bool = False):
+        import jax
+
+        base = self._bsgs_level
+        if batched:
+            base = jax.vmap(base, in_axes=self._BSGS_VMAP_AXES)
+        if not self._stage_jit_enabled():
+            return base
+        attr = "_bsgs_jit_fn_batched" if batched else "_bsgs_jit_fn"
+        fn = self.__dict__.get(attr)
+        if fn is None:
+            fn = jax.jit(base, static_argnums=(3, 4, 5, 6, 7))
+            self.__dict__[attr] = fn
         return fn
 
     def _keys_for(self, rot_in, rot_out) -> dict[int, RelinKey]:
@@ -552,25 +559,34 @@ class CkksBootstrapper:
                 keys[elt] = self.galois_keys.key_for_elt(elt)
         return keys
 
-    def _glue_jit(self, key, fn):
+    def _glue_jit(self, key, fn, batched: bool = False, in_axes=0):
         """Cached jit for the light between-stage glue (prelude, conj
         split, recombine): each is a handful of ops, but eager dispatch
         over a remote-TPU transport costs ~RPC-latency per op.  `key`
         must include every closure constant the stage bakes in (slots,
         correction, scalars); switching keys ride as jit arguments
         (closure-captured key buffers would serialize into the compile
-        payload)."""
+        payload).  `batched` wraps the stage in vmap over ciphertexts
+        stacked with scheme.ciphertext.stack_cts; `in_axes` maps the
+        stage's positional args (0 = batched ciphertext, None = shared
+        keys/plaintexts)."""
+        import jax
+
+        if batched:
+            fn = jax.vmap(fn, in_axes=in_axes)
+            key = key + ("batched",)
         if not self._stage_jit_enabled():
             return fn
         f = self.__dict__.get(key)
         if f is None:
-            import jax
-
             f = jax.jit(fn)
             self.__dict__[key] = f
         return f
 
-    def _sine_jit(self, coefficients: tuple[float, ...]):
+    def _sine_jit(self, coefficients: tuple[float, ...],
+                  batched: bool = False):
+        import jax
+
         def sine(ct, mul_key):
             out = cheb.eval_chebyshev_series(
                 self.ctx, ct, mul_key, list(coefficients), -1.0, 1.0
@@ -578,13 +594,13 @@ class CkksBootstrapper:
             out = auto.mod_reduce(self.ctx, out, 1)
             return self.apply_double_angle(out, self.r_iters, mul_key)
 
+        if batched:
+            sine = jax.vmap(sine, in_axes=(0, None))
         if not self._stage_jit_enabled():
             return sine
-        key = ("_sine_jit_fn", coefficients)
+        key = ("_sine_jit_fn", coefficients, batched)
         fn = self.__dict__.get(key)
         if fn is None:
-            import jax
-
             fn = jax.jit(sine)
             self.__dict__[key] = fn
         return fn
@@ -664,7 +680,22 @@ class CkksBootstrapper:
         c0 = jnp_add_mod(res.data[0], first.data[0], level.mod.q)
         return res.with_data(res.data.at[0].set(c0))
 
-    def coeffs_to_slots(self, ct: Ciphertext, slots: int) -> Ciphertext:
+    def _modred(self, ct: Ciphertext, batched: bool) -> Ciphertext:
+        """Between-stage ModReduce as a cached stage program (keeps eager
+        metadata ops off batched ciphertexts — rescale slices the limb
+        axis by position and must see the per-example (size, L, N) view)."""
+        return self._glue_jit(
+            ("_modred",), lambda c: auto.mod_reduce(self.ctx, c, 1),
+            batched, (0,)
+        )(ct)
+
+    def c2s_stage_plans(self, slots: int) -> list[tuple]:
+        """Static rotation plans for the hoisted C2S BSGS levels, in
+        execution order:
+        [(a_index, rot_in, rot_out, b, g, num_rot, modred_first), ...]
+        where modred_first says a ModReduce precedes the stage.  Shared by
+        coeffs_to_slots and the limb-sharded dryrun/bench
+        (parallel.boot_sharded)."""
         ctx = self.ctx
         pre = self.precom[slots]
         M = 2 * ctx.n
@@ -677,45 +708,39 @@ class CkksBootstrapper:
         )
         flag_rem = 1 if rem else 0
         stop = 0 if rem else -1
-
-        result = ct
+        plans = []
         for si in range(level_budget - 1, stop, -1):
-            if si != level_budget - 1:
-                result = auto.mod_reduce(ctx, result, 1)
-            rot_in = [
+            rot_in = tuple(
                 bm.reduce_rotation(
                     (j - (num_rot + 1) // 2 + 1)
                     * (1 << ((si - flag_rem) * layers + rem)),
                     slots,
                 )
                 for j in range(g)
-            ]
-            rot_out = [
+            )
+            rot_out = tuple(
                 bm.reduce_rotation(
                     (g * i) * (1 << ((si - flag_rem) * layers + rem)), M // 4
                 )
                 for i in range(b)
-            ]
-            result = self._bsgs_jit()(
-                result, pre.a_c2s[si], self._keys_for(rot_in, rot_out),
-                tuple(rot_in), tuple(rot_out), b, g, num_rot,
             )
+            plans.append((si, rot_in, rot_out, b, g, num_rot,
+                          si != level_budget - 1))
         if flag_rem:
-            result = auto.mod_reduce(ctx, result, 1)
-            rot_in = [
+            rot_in = tuple(
                 bm.reduce_rotation(j - (num_rot_rem + 1) // 2 + 1, slots)
                 for j in range(g_rem)
-            ]
-            rot_out = [
-                bm.reduce_rotation(g_rem * i, M // 4) for i in range(b_rem)
-            ]
-            result = self._bsgs_jit()(
-                result, pre.a_c2s[stop], self._keys_for(rot_in, rot_out),
-                tuple(rot_in), tuple(rot_out), b_rem, g_rem, num_rot_rem,
             )
-        return result
+            rot_out = tuple(
+                bm.reduce_rotation(g_rem * i, M // 4) for i in range(b_rem)
+            )
+            plans.append((stop, rot_in, rot_out, b_rem, g_rem, num_rot_rem,
+                          True))
+        return plans
 
-    def slots_to_coeffs(self, ct: Ciphertext, slots: int) -> Ciphertext:
+    def s2c_stage_plans(self, slots: int) -> list[tuple]:
+        """Static rotation plans for the S2C BSGS levels (see
+        c2s_stage_plans)."""
         ctx = self.ctx
         pre = self.precom[slots]
         M = 2 * ctx.n
@@ -727,42 +752,61 @@ class CkksBootstrapper:
             p[bm.NUM_ROTATIONS_REM], p[bm.BABY_STEP_REM], p[bm.GIANT_STEP_REM]
         )
         flag_rem = 1 if rem else 0
-
-        result = ct
+        plans = []
         for si in range(level_budget - flag_rem):
-            if si != 0:
-                result = auto.mod_reduce(ctx, result, 1)
-            rot_in = [
+            rot_in = tuple(
                 bm.reduce_rotation(
                     (j - (num_rot + 1) // 2 + 1) * (1 << (si * layers)), M // 4
                 )
                 for j in range(g)
-            ]
-            rot_out = [
+            )
+            rot_out = tuple(
                 bm.reduce_rotation((g * i) * (1 << (si * layers)), M // 4)
                 for i in range(b)
-            ]
-            result = self._bsgs_jit()(
-                result, pre.a_s2c[si], self._keys_for(rot_in, rot_out),
-                tuple(rot_in), tuple(rot_out), b, g, num_rot,
             )
+            plans.append((si, rot_in, rot_out, b, g, num_rot, si != 0))
         if flag_rem:
-            result = auto.mod_reduce(ctx, result, 1)
             si = level_budget - flag_rem
-            rot_in = [
+            rot_in = tuple(
                 bm.reduce_rotation(
                     (j - (num_rot_rem + 1) // 2 + 1) * (1 << (si * layers)),
                     M // 4,
                 )
                 for j in range(g_rem)
-            ]
-            rot_out = [
+            )
+            rot_out = tuple(
                 bm.reduce_rotation((g_rem * i) * (1 << (si * layers)), M // 4)
                 for i in range(b_rem)
-            ]
-            result = self._bsgs_jit()(
+            )
+            plans.append((si, rot_in, rot_out, b_rem, g_rem, num_rot_rem,
+                          True))
+        return plans
+
+    def coeffs_to_slots(self, ct: Ciphertext, slots: int) -> Ciphertext:
+        batched = ct.data.ndim == 4
+        pre = self.precom[slots]
+        result = ct
+        for (si, rot_in, rot_out, b, g, num_rot, modred) in \
+                self.c2s_stage_plans(slots):
+            if modred:
+                result = self._modred(result, batched)
+            result = self._bsgs_jit(batched)(
+                result, pre.a_c2s[si], self._keys_for(rot_in, rot_out),
+                rot_in, rot_out, b, g, num_rot,
+            )
+        return result
+
+    def slots_to_coeffs(self, ct: Ciphertext, slots: int) -> Ciphertext:
+        batched = ct.data.ndim == 4
+        pre = self.precom[slots]
+        result = ct
+        for (si, rot_in, rot_out, b, g, num_rot, modred) in \
+                self.s2c_stage_plans(slots):
+            if modred:
+                result = self._modred(result, batched)
+            result = self._bsgs_jit(batched)(
                 result, pre.a_s2c[si], self._keys_for(rot_in, rot_out),
-                tuple(rot_in), tuple(rot_out), b_rem, g_rem, num_rot_rem,
+                rot_in, rot_out, b, g, num_rot,
             )
         return result
 
@@ -789,6 +833,19 @@ class CkksBootstrapper:
         M = 2 * n
         slots = slots or n // 2
         init_size_q = ctx.level(ct.chain_index).size
+        batched = ct.data.ndim == 4
+
+        if num_iterations > 1 and batched:
+            # Meta-BTS mixes eager metadata ops (mod_switch_level slices
+            # the limb axis by position) between the two passes; run the
+            # channels of a batched ciphertext individually
+            from ..scheme.ciphertext import stack_cts, unstack_cts
+
+            outs = [
+                self.eval_bootstrap(c, slots, num_iterations, precision)
+                for c in unstack_cts(ct, ct.data.shape[0])
+            ]
+            return stack_cts(outs)
 
         if num_iterations > 1:
             # Meta-BTS two-pass precision boost (src/bootstrap.cu:858-906)
@@ -857,7 +914,8 @@ class CkksBootstrapper:
             return r
 
         raised = self._glue_jit(
-            ("_prelude", slots, correction, const_eval_mult), prelude
+            ("_prelude", slots, correction, const_eval_mult), prelude,
+            batched, (0,)
         )(ct)
 
         if slots == M // 4:
@@ -877,11 +935,11 @@ class CkksBootstrapper:
                 return enc, enc_i
 
             ctxt_enc, ctxt_enc_i = self._glue_jit(
-                ("_conj_split",), conj_split
+                ("_conj_split",), conj_split, batched, (0, None)
             )(ctxt_enc, conj_key)
 
             # approximate mod reduction (two branches: re and im)
-            sine = self._sine_jit(tuple(coefficients))
+            sine = self._sine_jit(tuple(coefficients), batched)
             ctxt_enc = sine(ctxt_enc, self.mul_key)
             ctxt_enc_i = sine(ctxt_enc_i, self.mul_key)
 
@@ -891,9 +949,9 @@ class CkksBootstrapper:
                 enc = auto.mult_by_integer(ctx, enc, scalar)
                 return auto.mod_reduce(ctx, enc, 1)
 
-            ctxt_enc = self._glue_jit(("_recombine", scalar), recombine)(
-                ctxt_enc, ctxt_enc_i
-            )
+            ctxt_enc = self._glue_jit(
+                ("_recombine", scalar), recombine, batched, (0, 0)
+            )(ctxt_enc, ctxt_enc_i)
             ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
         else:
             # ---------------- SPARSELY PACKED (src/bootstrap.cu:1053-1109)
@@ -914,7 +972,7 @@ class CkksBootstrapper:
                 return auto.mod_reduce(ctx, r, 1)
 
             raised = self._glue_jit(
-                ("_partial_sum", slots), partial_sum
+                ("_partial_sum", slots), partial_sum, batched, (0, None)
             )(raised, psum_keys)
             ctxt_enc = self.coeffs_to_slots(raised, slots)
 
@@ -928,11 +986,11 @@ class CkksBootstrapper:
                     enc = auto.mod_reduce(ctx, enc, 1)
                 return enc
 
-            ctxt_enc = self._glue_jit(("_conj_fold",), conj_fold)(
-                ctxt_enc, conj_key
-            )
+            ctxt_enc = self._glue_jit(
+                ("_conj_fold",), conj_fold, batched, (0, None)
+            )(ctxt_enc, conj_key)
 
-            ctxt_enc = self._sine_jit(tuple(coefficients))(
+            ctxt_enc = self._sine_jit(tuple(coefficients), batched)(
                 ctxt_enc, self.mul_key
             )
 
@@ -940,9 +998,9 @@ class CkksBootstrapper:
                 enc = auto.mult_by_integer(ctx, enc, scalar)
                 return auto.mod_reduce(ctx, enc, 1)
 
-            ctxt_enc = self._glue_jit(("_post_sine", scalar), post_sine)(
-                ctxt_enc
-            )
+            ctxt_enc = self._glue_jit(
+                ("_post_sine", scalar), post_sine, batched, (0,)
+            )(ctxt_enc)
             ctxt_dec = self.slots_to_coeffs(ctxt_enc, slots)
             # fold the [re, im] halves back together
             fold_elt = galois_elt_from_step(slots, n)
@@ -952,12 +1010,16 @@ class CkksBootstrapper:
                 rot = ev.apply_galois_with_key(ctx, dec, fold_elt, fkey)
                 return auto.eval_add_auto(ctx, dec, rot)
 
-            ctxt_dec = self._glue_jit(("_rot_fold", slots), rot_fold)(
-                ctxt_dec, fold_key
-            )
+            ctxt_dec = self._glue_jit(
+                ("_rot_fold", slots), rot_fold, batched, (0, None)
+            )(ctxt_dec, fold_key)
 
         cor_factor = 1 << round(correction)
-        ctxt_dec = auto.mult_by_integer(ctx, ctxt_dec, cor_factor)
+        ctxt_dec = self._glue_jit(
+            ("_corfac", cor_factor),
+            lambda c: auto.mult_by_integer(ctx, c, cor_factor),
+            batched, (0,),
+        )(ctxt_dec)
 
         boot_towers = ctx.level(ctxt_dec.chain_index).size
         if boot_towers <= init_size_q:

@@ -21,11 +21,19 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..eval import auto, chebyshev as cheb, evaluator as ev
 from ..scheme.ciphertext import Ciphertext, Plaintext
 from ..scheme.context import FheContext
 from ..scheme.keys import GaloisKey, RelinKey, SecretKey, PublicKey, encrypt_asymmetric
+
+
+def _index_stacked(ct: "Ciphertext", i: int) -> "Ciphertext":
+    """Static-index one element of a stacked (batched) ciphertext."""
+    return ct.with_data(
+        jax.tree_util.tree_map(lambda x: x[i], ct.data)
+    )
 
 
 @dataclass
@@ -72,6 +80,22 @@ class DNN:
         self.gk: GaloisKey | None = None
         self.mul_key: RelinKey | None = None
         self._pt_cache: dict = {}
+        self._stage_cache: dict = {}
+
+    def _stage_jit(self, key, fn, static_argnums=()):
+        """Cached jit for conv stage programs — same policy as the
+        bootstrapper's stage jit (one XLA program per stage instead of
+        per op; eager on CPU where the stage compiles were measured
+        intractable)."""
+        from ..boot.bootstrap import CkksBootstrapper
+
+        if not CkksBootstrapper._stage_jit_enabled():
+            return fn
+        f = self._stage_cache.get(key)
+        if f is None:
+            f = jax.jit(fn, static_argnums=static_argnums)
+            self._stage_cache[key] = f
+        return f
 
     # -- key management ----------------------------------------------------
     @staticmethod
@@ -235,21 +259,69 @@ class DNN:
         )
         cached = None if pts_key is None else self._pt_cache.get(pts_key)
 
-        out_ext: list[Ciphertext | None] = [None] * out_ch
-        for k in range(in_ch):
-            ct = cts[k]
+        # stage programs: (R) one hoisted modup + all kh*kw rotations per
+        # input channel, (A) one multiply-accumulate program per plaintext
+        # chunk, (D) one vmapped KeySwitchDown over the stacked output —
+        # each is ONE dispatch instead of hundreds of eager ops (the
+        # reference fuses equivalently via per-stream kernel batching,
+        # src/dnn.cu:82-150)
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
+        rot_steps = tuple(
+            ((i - c) * large_l + (j - c)) * pow_s for (i, j) in taps
+        )
+        tap_of = {t_: idx for idx, t_ in enumerate(taps)}
+
+        def rot_stage(ct, keys):
             pre = hoist.fast_rotation_precompute(ctx, ct)
-            rotated = {}
-            for (i, j) in taps:
-                rot = ((i - c) * large_l + (j - c)) * pow_s
+            outs = []
+            for rot in rot_steps:
                 if rot == 0:
-                    rotated[(i, j)] = hoist.keyswitch_ext(ctx, ct)
+                    outs.append(hoist.keyswitch_ext(ctx, ct))
                 else:
                     elt = galois_elt_from_step(rot, ctx.n)
-                    rotated[(i, j)] = hoist.fast_rotation_ext(
-                        ctx, ct, pre, elt, self.gk.key_for_elt(elt),
-                        add_first=True,
-                    )
+                    outs.append(hoist.fast_rotation_ext(
+                        ctx, ct, pre, elt, keys[elt], add_first=True,
+                    ))
+            return stack_cts(outs)
+
+        def acc_create(rot_stack, pt_list, tap_idx, out_idx, n_out):
+            upd = self._acc_terms(rot_stack, pt_list, tap_idx, out_idx)
+            proto = next(iter(upd.values()))
+            zeros = proto.with_data(jax.tree_util.tree_map(
+                jnp.zeros_like, proto.data))
+            return stack_cts([upd.get(h, zeros) for h in range(n_out)])
+
+        def acc_add(rot_stack, pt_list, out_stack, tap_idx, out_idx):
+            upd = self._acc_terms(rot_stack, pt_list, tap_idx, out_idx)
+            for h, term in upd.items():
+                cur = _index_stacked(out_stack, h)
+                new = hoist.eval_add_ext(ctx, cur, term)
+                out_stack = out_stack.with_data(jax.tree_util.tree_map(
+                    lambda o, v: o.at[h].set(v), out_stack.data, new.data))
+            return out_stack
+
+        def down_stage(out_stack):
+            return jax.vmap(
+                lambda e: hoist.keyswitch_down(ctx, e)
+            )(out_stack)
+
+        rot_fn = self._stage_jit(("_conv_rot", rot_steps), rot_stage)
+        create_fn = self._stage_jit(("_conv_acc_create",), acc_create,
+                                    static_argnums=(2, 3, 4))
+        add_fn = self._stage_jit(("_conv_acc_add",), acc_add,
+                                 static_argnums=(3, 4))
+        down_fn = self._stage_jit(("_conv_down",), down_stage)
+
+        rot_keys = {}
+        for rot in rot_steps:
+            if rot != 0:
+                elt = galois_elt_from_step(rot, ctx.n)
+                rot_keys[elt] = self.gk.key_for_elt(elt)
+
+        out_stack: Ciphertext | None = None
+        for k in range(in_ch):
+            rot_stack = rot_fn(cts[k], rot_keys)
             live_k = [
                 (i, j, h)
                 for h in range(out_ch)
@@ -273,16 +345,35 @@ class DNN:
                         store = self._pt_cache.setdefault(pts_key, {})
                         for (i, j, h), pt in zip(chunk, pt_list):
                             store[(i, j, k, h)] = pt
-                for (i, j, h), pt in zip(chunk, pt_list):
-                    term = hoist.eval_mult_ext(ctx, rotated[(i, j)], pt)
-                    out_ext[h] = term if out_ext[h] is None else \
-                        hoist.eval_add_ext(ctx, out_ext[h], term)
-        out_cts = [hoist.keyswitch_down(ctx, e) for e in out_ext]
+                tap_idx = tuple(tap_of[(i, j)] for (i, j, h) in chunk)
+                out_idx = tuple(h for (i, j, h) in chunk)
+                if out_stack is None:
+                    out_stack = create_fn(rot_stack, pt_list, tap_idx,
+                                          out_idx, out_ch)
+                else:
+                    out_stack = add_fn(rot_stack, pt_list, out_stack,
+                                       tap_idx, out_idx)
+        out_cts = unstack_cts(down_fn(out_stack), out_ch)
         return TensorCT(
             cts=out_cts,
             width=w // stride,
             slotstr=t.slotstr + 1 if stride == 2 else t.slotstr,
         )
+
+    def _acc_terms(self, rot_stack, pt_list, tap_idx, out_idx):
+        """chunk multiply-accumulate: per out-channel sum of
+        rotated[tap] * pt over the chunk's (tap, out) pairs."""
+        from ..eval import hoisting as hoist
+
+        ctx = self.ctx
+        upd: dict[int, Ciphertext] = {}
+        for e, pt in enumerate(pt_list):
+            term = hoist.eval_mult_ext(
+                ctx, _index_stacked(rot_stack, tap_idx[e]), pt)
+            got = upd.get(out_idx[e])
+            upd[out_idx[e]] = term if got is None else \
+                hoist.eval_add_ext(ctx, got, term)
+        return upd
 
     def batch_norm(
         self, t: TensorCT, weight, bias, mean, var, eps: float = 1e-5
@@ -336,18 +427,102 @@ class DNN:
                 return bootstrapper.eval_bootstrap_jit(ct, slots)
             return bootstrapper.eval_bootstrap(ct, slots=slots)
 
+    def channel_batch(self, n_ch: int) -> int:
+        """Channels per vmapped stage program.
+
+        The TPU-native replacement for the reference's serial per-ct kernel
+        launches (src/dnn.cu:207-238): stack B channels (stack_cts) and run
+        ONE vmapped stage program.  B is the largest power of two that (a)
+        divides into the (power-of-two) channel count evenly — uniform
+        chunks mean one compiled program per geometry — and (b) keeps the
+        transient working set of a hoisted BSGS stage (~10 ext-basis
+        component copies per channel) inside TPU_FHE_DNN_BATCH_MB.
+        TPU_FHE_DNN_BATCH forces a value (0/1 disables batching)."""
+        import os
+
+        v = os.environ.get("TPU_FHE_DNN_BATCH", "auto")
+        if v != "auto":
+            return max(1, min(n_ch, int(v)))
+        level = self.ctx.level(1)
+        qp = level.size + self.ctx.params.size_P
+        per_ch = 10 * qp * self.ctx.n * 8
+        budget = float(os.environ.get("TPU_FHE_DNN_BATCH_MB", "2500")) * 1e6
+        b = max(1, min(n_ch, 64, int(budget // per_ch)))
+        return 1 << (b.bit_length() - 1)  # floor to a power of two
+
     def bootstrap(self, t: TensorCT, bootstrapper) -> TensorCT:
-        """Per-channel EvalBootstrap at numSlots = (w << slotstr)^2
-        (BootStrap, src/dnn.cu:265-276)."""
+        """EvalBootstrap at numSlots = (w << slotstr)^2, channels batched
+        through vmapped stage programs (BootStrap, src/dnn.cu:265-276)."""
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
         slots = t.num_slots
-        cts = [self._boot_one(bootstrapper, ct, slots) for ct in t.cts]
+        B = self.channel_batch(t.num_ch)
+        if B <= 1:
+            cts = [self._boot_one(bootstrapper, ct, slots) for ct in t.cts]
+            return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+        cts = []
+        for lo in range(0, t.num_ch, B):
+            chunk = t.cts[lo:lo + B]
+            out = self._boot_one(bootstrapper, stack_cts(chunk), slots)
+            cts.extend(unstack_cts(out, len(chunk)))
         return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
 
     def relu_composite(self, t: TensorCT, bootstrapper) -> TensorCT:
         """ReLU(x) = x * (sign(sign(sign(0.1 x))) + 1) / 2 with three
         interleaved bootstraps (ReluComposite, src/dnn.cu:193-243).
         Timer buckets match the reference: sign/polynomial work under
-        'Relu', each bootstrap under 'Bootstrap'."""
+        'Relu', each bootstrap under 'Bootstrap'.  Channels run in
+        power-of-two batches through vmapped stage programs (one compile
+        + one dispatch per stage per chunk instead of per channel)."""
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+        from ..utils import timer
+
+        B = self.channel_batch(t.num_ch)
+        if B <= 1:
+            return self._relu_composite_seq(t, bootstrapper)
+        ctx = self.ctx
+        slots = t.num_slots
+        glue = bootstrapper._glue_jit
+
+        def stage0(c, key):
+            c = auto.mult_const(ctx, c, 0.1)
+            a, b = _SIGN_RANGES[0]
+            return cheb.eval_chebyshev_series(
+                ctx, c, key, _SIGN_COEFFS[0], a, b)
+
+        def stage1(c, key):
+            a, b = _SIGN_RANGES[1]
+            return cheb.eval_chebyshev_series(
+                ctx, c, key, _SIGN_COEFFS[1], a, b)
+
+        def stage2(c, x0, key):
+            a, b = _SIGN_RANGES[2]
+            c = cheb.eval_chebyshev_series(ctx, c, key, _SIGN_COEFFS[2], a, b)
+            plus1 = auto.add_const(ctx, c, 1.0)
+            halfx = auto.mult_const(ctx, x0, 0.5)
+            return auto.eval_mult_auto(ctx, plus1, halfx, key)
+
+        out_cts: list[Ciphertext] = []
+        for lo in range(0, t.num_ch, B):
+            chunk = t.cts[lo:lo + B]
+            x = stack_cts(chunk)
+            with timer.section("Relu"):
+                s = glue(("_dnn_sign", 0), stage0, True, (0, None))(
+                    x, self.mul_key)
+            s = self._boot_one(bootstrapper, s, slots)
+            with timer.section("Relu"):
+                s = glue(("_dnn_sign", 1), stage1, True, (0, None))(
+                    s, self.mul_key)
+            s = self._boot_one(bootstrapper, s, slots)
+            with timer.section("Relu"):
+                out = glue(("_dnn_sign", 2), stage2, True, (0, 0, None))(
+                    s, x, self.mul_key)
+            out = self._boot_one(bootstrapper, out, slots)
+            out_cts.extend(unstack_cts(out, len(chunk)))
+        return TensorCT(out_cts, t.width, t.slotstr)
+
+    def _relu_composite_seq(self, t: TensorCT, bootstrapper) -> TensorCT:
+        """Per-channel ReluComposite (batching disabled)."""
         from ..utils import timer
 
         ctx = self.ctx

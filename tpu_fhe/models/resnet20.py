@@ -150,13 +150,19 @@ def prepare_resnet20(model: DNN, sk, width: int = 32, layers: int = 3):
 def resnet20_infer(
     x: TensorCT, model: DNN, bootstrapper, weights: dict,
     log=print, blocks: int = 3, layers: int = 3,
+    start_after: str = "", on_stage_done=None,
 ) -> TensorCT:
     """ResNet20_infer (model_resnet20.cu:44-153) with the reference's
     Timer buckets (Convolution / BatchNorm / Relu / Bootstrap / PoolFC,
     src/dnn.cu:84-240; print with utils.timer.print_accumulated).
     `blocks` < 3 truncates each layer, `layers` < 3 drops whole layers
     (and the final pool, whose FC shape would no longer match) — used for
-    bounded-time stage-timing runs at the full N=2^16 config."""
+    bounded-time stage-timing runs at the full N=2^16 config.
+
+    Checkpoint/resume for wall-clock-bounded full-scale runs: the pipeline
+    is a linear chain of named stages ('stem', 'l{layer}b{blk}', 'pool');
+    `on_stage_done(name, x)` fires after each, and `start_after=name`
+    resumes right past that stage (pass the checkpointed tensor as `x`)."""
     from ..utils import timer
 
     def conv(t, w, stride, key):
@@ -167,35 +173,105 @@ def resnet20_infer(
         with timer.section("BatchNorm"):
             return model.batch_norm(t, p.weight, p.bias, p.mean, p.var)
 
-    x = conv(x, weights["conv1"], 1, "conv1")
-    x = bnorm(x, weights["bn1"])
-    x = model.relu_composite(x, bootstrapper)
+    def stem(t):
+        t = conv(t, weights["conv1"], 1, "conv1")
+        t = bnorm(t, weights["bn1"])
+        return model.relu_composite(t, bootstrapper)
 
-    for layer in (1, 2, 3)[:layers]:
-        for blk in range(blocks):
-            log(f"layer {layer} block {blk + 1}")
+    def make_block(layer, blk):
+        def block(t):
             pre = f"layer{layer}_{blk}"
             stride = 2 if (layer > 1 and blk == 0) else 1
-            x_skip = x
-            x_main = conv(x, weights[f"{pre}_conv1"], stride, f"{pre}_conv1")
-            x_main = bnorm(x_main, weights[f"{pre}_bn1"])
-            x_main = model.relu_composite(x_main, bootstrapper)
-            x_main = conv(x_main, weights[f"{pre}_conv2"], 1, f"{pre}_conv2")
-            x_main = bnorm(x_main, weights[f"{pre}_bn2"])
+            t_skip = t
+            t_main = conv(t, weights[f"{pre}_conv1"], stride, f"{pre}_conv1")
+            t_main = bnorm(t_main, weights[f"{pre}_bn1"])
+            t_main = model.relu_composite(t_main, bootstrapper)
+            t_main = conv(t_main, weights[f"{pre}_conv2"], 1, f"{pre}_conv2")
+            t_main = bnorm(t_main, weights[f"{pre}_bn2"])
             if stride == 2:
-                x_skip = conv(x_skip, weights[f"{pre}_downsample_0"], 2,
+                t_skip = conv(t_skip, weights[f"{pre}_downsample_0"], 2,
                               f"{pre}_downsample_0")
-                x_skip = bnorm(x_skip, weights[f"{pre}_downsample_1"])
-            x = model.add(x_main, x_skip)
-            x = model.relu_composite(x, bootstrapper)
+                t_skip = bnorm(t_skip, weights[f"{pre}_downsample_1"])
+            t = model.add(t_main, t_skip)
+            return model.relu_composite(t, bootstrapper)
+        return block
 
-    if layers < 3:
-        return x  # truncated run: FC shape no longer matches
-    log("final avgpool + fc")
-    with timer.section("PoolFC"):
-        return model.avg_pool_full_con(
-            x, weights["fc_weight"], weights["fc_bias"]
-        )
+    def pool(t):
+        with timer.section("PoolFC"):
+            return model.avg_pool_full_con(
+                t, weights["fc_weight"], weights["fc_bias"]
+            )
+
+    stages: list = [("stem", stem)]
+    for layer in (1, 2, 3)[:layers]:
+        for blk in range(blocks):
+            stages.append((f"l{layer}b{blk}", make_block(layer, blk)))
+    if layers >= 3:
+        stages.append(("pool", pool))
+
+    started = not start_after
+    for name, fn in stages:
+        if not started:
+            if name == start_after:
+                started = True
+            continue
+        log(f"stage {name}")
+        x = fn(x)
+        if on_stage_done is not None:
+            on_stage_done(name, x)
+    if not started:
+        raise ValueError(f"start_after stage {start_after!r} not in pipeline")
+    return x
+
+
+# --------------------------------------------------------------------------
+# TensorCT checkpointing (chunked full-scale runs)
+# --------------------------------------------------------------------------
+
+def save_tensor_ct(t: TensorCT, path: str, stage: str = "",
+                   extra: dict | None = None):
+    """Persist a TensorCT (all channels + geometry + stage tag + the timer
+    accumulators) so a wall-clock-bounded run can resume in a later
+    process (the reference has no analog — its flagship binary must finish
+    in one go)."""
+    import json
+    import os
+
+    from ..utils import serialize as ser
+    from ..utils import timer
+
+    os.makedirs(path, exist_ok=True)
+    for k, ct in enumerate(t.cts):
+        with open(f"{path}/ch{k:03d}.ct", "wb") as fp:
+            ser.save_ciphertext(ct, fp)
+    meta = {
+        "num_ch": t.num_ch, "width": t.width, "slotstr": t.slotstr,
+        "stage": stage, "timers": timer.accumulated(),
+    }
+    if extra:
+        meta.update(extra)
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as fp:
+        json.dump(meta, fp)
+    os.replace(tmp, f"{path}/meta.json")  # atomic: meta.json marks validity
+
+
+def load_tensor_ct(path: str) -> tuple[TensorCT, dict]:
+    """-> (tensor, meta).  Restores the timer accumulators saved with it."""
+    import json
+
+    from ..utils import serialize as ser
+    from ..utils import timer
+
+    with open(f"{path}/meta.json") as fp:
+        meta = json.load(fp)
+    cts = []
+    for k in range(meta["num_ch"]):
+        with open(f"{path}/ch{k:03d}.ct", "rb") as fp:
+            cts.append(ser.load_ciphertext(fp))
+    for name, secs in meta.get("timers", {}).items():
+        timer.add_accumulated(name, secs)
+    return TensorCT(cts, meta["width"], meta["slotstr"]), meta
 
 
 def resnet20_infer_clear(image: np.ndarray, weights: dict) -> np.ndarray:

@@ -53,6 +53,39 @@ class Ciphertext:
         return cls(children[0], *aux)
 
 
+def stack_cts(cts: list) -> Ciphertext:
+    """Stack same-metadata ciphertexts into ONE batched ciphertext whose
+    data leaves gain a leading batch axis (B, size, L, N).
+
+    The batched form is consumed by vmapped stage programs (bootstrap /
+    DNN activations): one XLA dispatch processes every channel, which is
+    the TPU-native replacement for the reference's per-channel ciphertext
+    loop (src/dnn.cu:207-238 launches per-ct kernels serially per stream).
+    Metadata must match exactly — it rides in the aux treedef and is
+    shared by the whole batch."""
+    first = cts[0]
+    meta = first.tree_flatten()[1]
+    for c in cts[1:]:
+        if c.tree_flatten()[1] != meta:
+            raise ValueError(
+                "stack_cts: mismatched ciphertext metadata "
+                f"({c.tree_flatten()[1]} != {meta})"
+            )
+    data = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *[c.data for c in cts]
+    )
+    return first.with_data(data)
+
+
+def unstack_cts(ct: Ciphertext, batch: int) -> list:
+    """Inverse of stack_cts: split the leading batch axis back into a list
+    of per-channel ciphertexts."""
+    return [
+        ct.with_data(jax.tree_util.tree_map(lambda x: x[i], ct.data))
+        for i in range(batch)
+    ]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class Plaintext:

@@ -38,6 +38,12 @@ def accumulated() -> dict[str, float]:
     return dict(_ACC)
 
 
+def add_accumulated(name: str, seconds: float):
+    """Merge externally-recorded time (checkpoint/resume restores the
+    buckets of earlier chunks of a multi-process run)."""
+    _ACC[name] += seconds
+
+
 def print_accumulated(out=print):
     """Timer::printAccumulatedTimes — sorted dump."""
     width = max((len(k) for k in _ACC), default=4)
