@@ -28,6 +28,12 @@ import numpy as np
 
 
 def main():
+    # live stack dumps without disturbing the run: kill -USR1 <pid>
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--demo", action="store_true", help="doll-scale config")
@@ -40,6 +46,10 @@ def main():
     ap.add_argument("--weights", type=str, default="", help=".npy weight dir")
     ap.add_argument("--image", type=str, default="", help="CIFAR .npy file")
     ap.add_argument("--image-index", type=int, default=0)
+    ap.add_argument("--q32", action="store_true",
+                    help="composite-scaling regime (30-bit limb pairs, "
+                         "working scale 2^58): ~3x faster bootstraps on "
+                         "TPU at ~1 bit less precision")
     ap.add_argument("--ckpt", type=str, default="",
                     help="checkpoint dir: save the tensor after every stage "
                          "and resume from the last one on restart")
@@ -104,17 +114,35 @@ def main():
     )
     boot_depth = approx + sine[1] + level_budget[0] + level_budget[1]
     depth = levels_after + boot_depth
-    bits = [first_mod] + [dcrt_bits] * depth + [aux_mod] * size_p
     print(f"[params] N={n} sizeQ={depth + 1} sizeP={size_p} "
-          f"boot_depth={boot_depth}")
+          f"boot_depth={boot_depth} regime={'q32' if args.q32 else '60-bit'}")
 
-    params = EncryptionParameters(
-        scheme=SchemeType.ckks,
-        poly_modulus_degree=n,
-        allow_insecure=True,
-        coeff_modulus=tuple(CoeffModulus.create(n, bits)),
-        special_modulus_size=size_p,
-    )
+    if args.q32:
+        # composite scaling (examples/bootstrap_ckks.py --q32): one logical
+        # level = a 30-bit prime pair at working scale 2^58; single-word
+        # device kernels bootstrap ~3x faster than the 60-bit chain
+        size_p = depth + 1
+        mods = CoeffModulus.create_composite(
+            n, 58, depth, degree=2, anchor_bits=30,
+            special_bits=30, special_count=size_p,
+        )
+        params = EncryptionParameters(
+            scheme=SchemeType.ckks,
+            poly_modulus_degree=n,
+            allow_insecure=True,
+            coeff_modulus=tuple(mods),
+            special_modulus_size=size_p,
+            composite_degree=2,
+        )
+    else:
+        bits = [first_mod] + [dcrt_bits] * depth + [aux_mod] * size_p
+        params = EncryptionParameters(
+            scheme=SchemeType.ckks,
+            poly_modulus_degree=n,
+            allow_insecure=True,
+            coeff_modulus=tuple(CoeffModulus.create(n, bits)),
+            special_modulus_size=size_p,
+        )
     ctx = FheContext(params)
     enc = CkksEncoder(ctx)
     sk = SecretKey(ctx, key=1)

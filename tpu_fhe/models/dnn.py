@@ -319,8 +319,12 @@ class DNN:
                 elt = galois_elt_from_step(rot, ctx.n)
                 rot_keys[elt] = self.gk.key_for_elt(elt)
 
+        import time as _time
+
+        dbg = os.environ.get("TPU_FHE_DNN_LOG")
         out_stack: Ciphertext | None = None
         for k in range(in_ch):
+            t0 = _time.time()
             rot_stack = rot_fn(cts[k], rot_keys)
             live_k = [
                 (i, j, h)
@@ -353,6 +357,9 @@ class DNN:
                 else:
                     out_stack = add_fn(rot_stack, pt_list, out_stack,
                                        tap_idx, out_idx)
+            if dbg:
+                print(f"    [conv] in_ch {k + 1}/{in_ch} "
+                      f"({_time.time() - t0:.1f}s)", flush=True)
         out_cts = unstack_cts(down_fn(out_stack), out_ch)
         return TensorCT(
             cts=out_cts,
@@ -416,16 +423,26 @@ class DNN:
         """One bootstrap under the 'Bootstrap' timer bucket (the reference's
         Timer::startGPUTimer("Bootstrap"), src/dnn.cu:207-238); rides the
         stage-jitted path on TPU."""
+        import os
+        import time
+
         from ..utils import timer
 
         use_jit = (
             jax.default_backend() == "tpu"
             and hasattr(bootstrapper, "eval_bootstrap_jit")
         )
+        t0 = time.time()
         with timer.section("Bootstrap"):
             if use_jit:
-                return bootstrapper.eval_bootstrap_jit(ct, slots)
-            return bootstrapper.eval_bootstrap(ct, slots=slots)
+                out = bootstrapper.eval_bootstrap_jit(ct, slots)
+            else:
+                out = bootstrapper.eval_bootstrap(ct, slots=slots)
+        if os.environ.get("TPU_FHE_DNN_LOG"):
+            b = ct.data.shape[0] if ct.data.ndim == 4 else 1
+            print(f"    [boot] batch={b} slots={slots} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        return out
 
     def channel_batch(self, n_ch: int) -> int:
         """Channels per vmapped stage program.
@@ -502,13 +519,21 @@ class DNN:
             halfx = auto.mult_const(ctx, x0, 0.5)
             return auto.eval_mult_auto(ctx, plus1, halfx, key)
 
+        import os
+        import time
+
+        dbg = os.environ.get("TPU_FHE_DNN_LOG")
         out_cts: list[Ciphertext] = []
         for lo in range(0, t.num_ch, B):
+            t0 = time.time()
             chunk = t.cts[lo:lo + B]
             x = stack_cts(chunk)
             with timer.section("Relu"):
                 s = glue(("_dnn_sign", 0), stage0, True, (0, None))(
                     x, self.mul_key)
+            if dbg:
+                print(f"    [sign0] batch={len(chunk)} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
             s = self._boot_one(bootstrapper, s, slots)
             with timer.section("Relu"):
                 s = glue(("_dnn_sign", 1), stage1, True, (0, None))(
