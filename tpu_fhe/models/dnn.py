@@ -233,10 +233,11 @@ class DNN:
 
         # mask plaintexts live at the extended basis QlP: ~(QlP * N * 8)
         # bytes EACH, so a full layer's (kh*kw*in*out) set is tens of GB at
-        # N=2^16 — encode in bounded chunks per input channel and let each
-        # chunk die after its multiply-accumulate.  The finished-plaintext
-        # cache (cache_key) engages only when the whole layer fits the
-        # budget (doll-scale demos / repeated small inferences).
+        # N=2^16 — encode one (in, out) pair's tap set (<= kh*kw masks) at
+        # a time and let it die after its multiply-accumulate.  The
+        # finished-plaintext cache (cache_key) engages only when the whole
+        # layer fits the budget (doll-scale demos / repeated small
+        # inferences).
         import os
 
         taps = [(i, j) for j in range(kh) for i in range(kh)]
@@ -249,22 +250,21 @@ class DNN:
             cache_key is not None
             and n_live * mask_bytes <= cache_mb * 1e6
         )
-        # chunk size from a transient-HBM byte budget (encode holds the
-        # batch in + NTT out simultaneously; keys/BSGS plaintexts already
-        # occupy most of HBM at N=2^16)
-        chunk_mb = float(os.environ.get("TPU_FHE_CONV_CHUNK_MB", "128"))
-        chunk_elems = max(1, min(64, int(chunk_mb * 1e6 // mask_bytes)))
         pts_key = None if not cacheable else (
             "pts", cache_key, ci, float(scale), w, t.slotstr
         )
         cached = None if pts_key is None else self._pt_cache.get(pts_key)
 
         # stage programs: (R) one hoisted modup + all kh*kw rotations per
-        # input channel, (A) one multiply-accumulate program per plaintext
-        # chunk, (D) one vmapped KeySwitchDown over the stacked output —
-        # each is ONE dispatch instead of hundreds of eager ops (the
-        # reference fuses equivalently via per-stream kernel batching,
-        # src/dnn.cu:82-150)
+        # input channel, (A) one fixed-tap-set multiply-accumulate program
+        # per OUTPUT channel contribution, (D) one vmapped KeySwitchDown
+        # over the stacked output.  The accumulate program indexes rotated
+        # taps by a static tap set that is IDENTICAL for every (in, out)
+        # pair with dense weights, so a whole conv layer compiles exactly
+        # 4 programs per geometry regardless of channel counts (absolute
+        # out-channel indices never appear in a program — accumulation
+        # across input channels happens on per-channel ciphertexts, not by
+        # scattering into a stacked tensor).
         from ..scheme.ciphertext import stack_cts, unstack_cts
 
         rot_steps = tuple(
@@ -285,21 +285,18 @@ class DNN:
                     ))
             return stack_cts(outs)
 
-        def acc_create(rot_stack, pt_list, tap_idx, out_idx, n_out):
-            upd = self._acc_terms(rot_stack, pt_list, tap_idx, out_idx)
-            proto = next(iter(upd.values()))
-            zeros = proto.with_data(jax.tree_util.tree_map(
-                jnp.zeros_like, proto.data))
-            return stack_cts([upd.get(h, zeros) for h in range(n_out)])
+        def acc_block(rot_stack, pt_list, tap_idx):
+            term = None
+            for e, pt in enumerate(pt_list):
+                t_ = hoist.eval_mult_ext(
+                    ctx, _index_stacked(rot_stack, tap_idx[e]), pt)
+                term = t_ if term is None else \
+                    hoist.eval_add_ext(ctx, term, t_)
+            return term
 
-        def acc_add(rot_stack, pt_list, out_stack, tap_idx, out_idx):
-            upd = self._acc_terms(rot_stack, pt_list, tap_idx, out_idx)
-            for h, term in upd.items():
-                cur = _index_stacked(out_stack, h)
-                new = hoist.eval_add_ext(ctx, cur, term)
-                out_stack = out_stack.with_data(jax.tree_util.tree_map(
-                    lambda o, v: o.at[h].set(v), out_stack.data, new.data))
-            return out_stack
+        def acc_block_into(rot_stack, pt_list, prev, tap_idx):
+            return hoist.eval_add_ext(
+                ctx, prev, acc_block(rot_stack, pt_list, tap_idx))
 
         def down_stage(out_stack):
             return jax.vmap(
@@ -307,10 +304,10 @@ class DNN:
             )(out_stack)
 
         rot_fn = self._stage_jit(("_conv_rot", rot_steps), rot_stage)
-        create_fn = self._stage_jit(("_conv_acc_create",), acc_create,
-                                    static_argnums=(2, 3, 4))
-        add_fn = self._stage_jit(("_conv_acc_add",), acc_add,
-                                 static_argnums=(3, 4))
+        acc_fn = self._stage_jit(("_conv_acc",), acc_block,
+                                 static_argnums=(2,))
+        accin_fn = self._stage_jit(("_conv_acc_into",), acc_block_into,
+                                   static_argnums=(3,))
         down_fn = self._stage_jit(("_conv_down",), down_stage)
 
         rot_keys = {}
@@ -322,65 +319,45 @@ class DNN:
         import time as _time
 
         dbg = os.environ.get("TPU_FHE_DNN_LOG")
-        out_stack: Ciphertext | None = None
+        out_list: list[Ciphertext | None] = [None] * out_ch
         for k in range(in_ch):
             t0 = _time.time()
             rot_stack = rot_fn(cts[k], rot_keys)
-            live_k = [
-                (i, j, h)
-                for h in range(out_ch)
-                for (i, j) in taps
-                if float(weight[i, j, k, h]) != 0.0
-            ]
-            for start in range(0, len(live_k), chunk_elems):
-                chunk = live_k[start:start + chunk_elems]
+            for h in range(out_ch):
+                live = [(i, j) for (i, j) in taps
+                        if float(weight[i, j, k, h]) != 0.0]
+                if not live:
+                    continue
                 if cached is not None:
-                    pt_list = [cached[(i, j, k, h)] for (i, j, h) in chunk]
+                    pt_list = [cached[(i, j, k, h)] for (i, j) in live]
                 else:
                     rows = (
                         self._mask_embedding(w, t.slotstr, kh, i, j)
                         * float(weight[i, j, k, h])
-                        for (i, j, h) in chunk
+                        for (i, j) in live
                     )
                     pt_list = self.encoder.encode_coeff_rows(
-                        rows, scale, ci, ext=True, max_batch=chunk_elems
+                        rows, scale, ci, ext=True, max_batch=len(live)
                     )
                     if pts_key is not None:
                         store = self._pt_cache.setdefault(pts_key, {})
-                        for (i, j, h), pt in zip(chunk, pt_list):
+                        for (i, j), pt in zip(live, pt_list):
                             store[(i, j, k, h)] = pt
-                tap_idx = tuple(tap_of[(i, j)] for (i, j, h) in chunk)
-                out_idx = tuple(h for (i, j, h) in chunk)
-                if out_stack is None:
-                    out_stack = create_fn(rot_stack, pt_list, tap_idx,
-                                          out_idx, out_ch)
+                tap_idx = tuple(tap_of[t_] for t_ in live)
+                if out_list[h] is None:
+                    out_list[h] = acc_fn(rot_stack, pt_list, tap_idx)
                 else:
-                    out_stack = add_fn(rot_stack, pt_list, out_stack,
-                                       tap_idx, out_idx)
+                    out_list[h] = accin_fn(rot_stack, pt_list,
+                                           out_list[h], tap_idx)
             if dbg:
                 print(f"    [conv] in_ch {k + 1}/{in_ch} "
                       f"({_time.time() - t0:.1f}s)", flush=True)
-        out_cts = unstack_cts(down_fn(out_stack), out_ch)
+        out_cts = unstack_cts(down_fn(stack_cts(out_list)), out_ch)
         return TensorCT(
             cts=out_cts,
             width=w // stride,
             slotstr=t.slotstr + 1 if stride == 2 else t.slotstr,
         )
-
-    def _acc_terms(self, rot_stack, pt_list, tap_idx, out_idx):
-        """chunk multiply-accumulate: per out-channel sum of
-        rotated[tap] * pt over the chunk's (tap, out) pairs."""
-        from ..eval import hoisting as hoist
-
-        ctx = self.ctx
-        upd: dict[int, Ciphertext] = {}
-        for e, pt in enumerate(pt_list):
-            term = hoist.eval_mult_ext(
-                ctx, _index_stacked(rot_stack, tap_idx[e]), pt)
-            got = upd.get(out_idx[e])
-            upd[out_idx[e]] = term if got is None else \
-                hoist.eval_add_ext(ctx, got, term)
-        return upd
 
     def batch_norm(
         self, t: TensorCT, weight, bias, mean, var, eps: float = 1e-5
