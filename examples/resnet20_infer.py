@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--weights", type=str, default="", help=".npy weight dir")
     ap.add_argument("--image", type=str, default="", help="CIFAR .npy file")
     ap.add_argument("--image-index", type=int, default=0)
+    ap.add_argument("--level-budget", type=str, default="",
+                    help="C2S,S2C level budget (default 2,2; deeper budgets "
+                         "trade bootstrap depth for much smaller resident "
+                         "BSGS plaintext/key memory — 4,4 fits 16 GB HBM)")
     ap.add_argument("--q32", action="store_true",
                     help="composite-scaling regime (30-bit limb pairs, "
                          "working scale 2^58): ~3x faster bootstraps on "
@@ -96,7 +100,10 @@ def main():
         sine = (512, 6, 88)         # reference's uniform-secret parameters
         levels_after = 11
 
-    level_budget = (2, 2)
+    if args.level_budget:
+        level_budget = tuple(int(v) for v in args.level_budget.split(","))
+    else:
+        level_budget = (2, 2)
     boot = None  # created after context
 
     # parameter recipe mirrors Resnet/resnet.cu:16-54, except P: the
@@ -157,7 +164,8 @@ def main():
     boot = CkksBootstrapper(ctx, enc)
     boot.set_sine_params(*sine)
     boot.setup(level_budget=level_budget, slots=slots,
-               dim1=(8, 8) if not args.demo else (0, 0))
+               dim1=(8, 8) if (not args.demo and level_budget[0] >= 4)
+               else (0, 0))
     boot.keygen(sk, slots=slots)
     model.mul_key = boot.mul_key
     print(f"[keys+bootstrap setup] ({time.time() - t0:.1f}s)")

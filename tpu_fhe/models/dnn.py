@@ -298,10 +298,11 @@ class DNN:
             return hoist.eval_add_ext(
                 ctx, prev, acc_block(rot_stack, pt_list, tap_idx))
 
-        def down_stage(out_stack):
-            return jax.vmap(
-                lambda e: hoist.keyswitch_down(ctx, e)
-            )(out_stack)
+        def down_stage(e):
+            # per-channel: stacking all out channels for a vmapped down
+            # doubles the ext-basis out set transiently (~3 GB at layer 3,
+            # N=2^16) — one compiled single-ct program, out_ch calls
+            return hoist.keyswitch_down(ctx, e)
 
         rot_fn = self._stage_jit(("_conv_rot", rot_steps), rot_stage)
         acc_fn = self._stage_jit(("_conv_acc",), acc_block,
@@ -352,7 +353,10 @@ class DNN:
             if dbg:
                 print(f"    [conv] in_ch {k + 1}/{in_ch} "
                       f"({_time.time() - t0:.1f}s)", flush=True)
-        out_cts = unstack_cts(down_fn(stack_cts(out_list)), out_ch)
+        out_cts = []
+        for h in range(out_ch):
+            out_cts.append(down_fn(out_list[h]))
+            out_list[h] = None  # free the ext-basis accumulator eagerly
         return TensorCT(
             cts=out_cts,
             width=w // stride,
