@@ -139,3 +139,17 @@ def test_bootstrap_dense_composite_small_ring():
     # (requires the exact q0 correction + pair-product prime search;
     # see boot/bootstrap.py setup and CoeffModulus.create_composite)
     assert prec > 18.0
+
+    # regression (found by the encrypted-ResNet stem, r04): a NON-bottom
+    # input — mid-pipeline ciphertexts keep spare levels; the prelude
+    # must physically drop to the anchor pair before composite RaiseMod
+    # (the 60-bit raise reads limb 0 at any level and never noticed)
+    ct_hi = sk.encrypt_symmetric(enc.encode(x, sf[0]))
+    while ctx.level(ct_hi.chain_index).size > 12:
+        ct_hi = ev.mod_drop_to_next(ctx, ct_hi)
+    out_hi = boot.eval_bootstrap(ct_hi)
+    prec_hi = compute_bit_precision(
+        enc.decode(sk.decrypt(out_hi)).real, x)
+    print(f"composite bootstrap (non-bottom input) precision: "
+          f"{prec_hi:.1f} bits")
+    assert prec_hi > 18.0

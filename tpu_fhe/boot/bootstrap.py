@@ -907,6 +907,14 @@ class CkksBootstrapper:
             r = auto.mod_reduce(ctx, ct_in, ct_in.noise_scale_deg - 1) \
                 if ct_in.noise_scale_deg > 1 else ct_in
             r = self.adjust_ciphertext(r, correction)
+            if d > 1:
+                # composite RaiseMod Garner-composes the anchor GROUP, so
+                # physically drop to the anchor pair first; the 60-bit
+                # path reads limb 0 at any level (raise_mod) and needs no
+                # drop — AdjustCiphertext already folded the dropped
+                # moduli into the scale correction in both regimes
+                while ctx.level(r.chain_index).size > d:
+                    r = ev.mod_drop_to_next(ctx, r)
             r = auto.raise_mod(ctx, r)
             r = auto.mult_const(ctx, r, const_eval_mult)
             if slots == M // 4:
