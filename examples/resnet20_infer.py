@@ -121,8 +121,9 @@ def main():
     )
     boot_depth = approx + sine[1] + level_budget[0] + level_budget[1]
     depth = levels_after + boot_depth
-    print(f"[params] N={n} sizeQ={depth + 1} sizeP={size_p} "
-          f"boot_depth={boot_depth} regime={'q32' if args.q32 else '60-bit'}")
+    print(f"[params] N={n} levels={depth + 1} boot_depth={boot_depth} "
+          f"regime={'q32' if args.q32 else '60-bit'} "
+          f"level_budget={level_budget}")
 
     if args.q32:
         # composite scaling (examples/bootstrap_ckks.py --q32): one logical

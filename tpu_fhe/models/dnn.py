@@ -516,13 +516,21 @@ class DNN:
                 print(f"    [sign0] batch={len(chunk)} "
                       f"({time.time() - t0:.1f}s)", flush=True)
             s = self._boot_one(bootstrapper, s, slots)
+            t0 = time.time()
             with timer.section("Relu"):
                 s = glue(("_dnn_sign", 1), stage1, True, (0, None))(
                     s, self.mul_key)
+            if dbg:
+                print(f"    [sign1] batch={len(chunk)} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
             s = self._boot_one(bootstrapper, s, slots)
+            t0 = time.time()
             with timer.section("Relu"):
                 out = glue(("_dnn_sign", 2), stage2, True, (0, 0, None))(
                     s, x, self.mul_key)
+            if dbg:
+                print(f"    [sign2] batch={len(chunk)} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
             out = self._boot_one(bootstrapper, out, slots)
             out_cts.extend(unstack_cts(out, len(chunk)))
         return TensorCT(out_cts, t.width, t.slotstr)
