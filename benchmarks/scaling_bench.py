@@ -237,7 +237,11 @@ def bench_bsgs(args):
 
     n = 1 << args.logn
     slots = min(64, n // 4)
-    bits = [60] + [59] * (args.limbs - 1) + [60] * args.special
+    # the C2S input sits one level down (L = limbs - 1); round the data
+    # limb count so L divides every mesh size up to 8 (GSPMD device_put
+    # needs the sharded limb axis divisible by the mesh)
+    limbs = 8 * ((args.limbs - 1 + 7) // 8) + 1
+    bits = [60] + [59] * (limbs - 1) + [60] * args.special
     params = EncryptionParameters(
         scheme=SchemeType.ckks,
         poly_modulus_degree=n,
@@ -259,7 +263,7 @@ def bench_bsgs(args):
     si, rot_in, rot_out, b, g, num_rot, _ = boot.c2s_stage_plans(slots)[0]
     A = boot.precom[slots].a_c2s[si]
     keys = boot._keys_for(rot_in, rot_out)
-    log(f"mode=bsgs logN={args.logn} limbs={args.limbs}+{args.special} "
+    log(f"mode=bsgs logN={args.logn} limbs={limbs}+{args.special} "
         f"slots={slots} b={b} g={g}")
 
     ndev = len(jax.devices())

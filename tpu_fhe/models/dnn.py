@@ -493,9 +493,16 @@ class DNN:
             return cheb.eval_chebyshev_series(
                 ctx, c, key, _SIGN_COEFFS[1], a, b)
 
-        def stage2(c, x0, key):
+        # stage 2 is split in two: one program fusing the chebyshev series
+        # WITH the final ciphertext multiply hit a pathological (>2 h)
+        # XLA:CPU compile at doll scale; two smaller programs compile in
+        # minutes each and the extra dispatch is noise
+        def stage2a(c, key):
             a, b = _SIGN_RANGES[2]
-            c = cheb.eval_chebyshev_series(ctx, c, key, _SIGN_COEFFS[2], a, b)
+            return cheb.eval_chebyshev_series(
+                ctx, c, key, _SIGN_COEFFS[2], a, b)
+
+        def stage2b(c, x0, key):
             plus1 = auto.add_const(ctx, c, 1.0)
             halfx = auto.mult_const(ctx, x0, 0.5)
             return auto.eval_mult_auto(ctx, plus1, halfx, key)
@@ -526,8 +533,10 @@ class DNN:
             s = self._boot_one(bootstrapper, s, slots)
             t0 = time.time()
             with timer.section("Relu"):
-                out = glue(("_dnn_sign", 2), stage2, True, (0, 0, None))(
-                    s, x, self.mul_key)
+                s = glue(("_dnn_sign", "2a"), stage2a, True, (0, None))(
+                    s, self.mul_key)
+                out = glue(("_dnn_sign", "2b"), stage2b, True,
+                           (0, 0, None))(s, x, self.mul_key)
             if dbg:
                 print(f"    [sign2] batch={len(chunk)} "
                       f"({time.time() - t0:.1f}s)", flush=True)
