@@ -131,7 +131,11 @@ def bench_keyswitch(n, data_bits, num_data, size_p, iters=50):
     return 1.0 / dt
 
 
-def bench_ntt(n, limbs, iters=50):
+def bench_ntt(n, limbs, iters=2000):
+    # iters sizes the marginal window: at ~0.2 ms/op the old 50-iter
+    # window was ~10 ms against ~100 ms tunnel jitter (the r04 342%
+    # spread); 2000 iters puts ~0.4 s of pure device compute between the
+    # two timing points, the same discipline that got keyswitch to 2%
     import jax
     from tpu_fhe.core import numth
     from tpu_fhe.core.ntt_tables import make_ntt_tables
@@ -156,7 +160,7 @@ def bench_ntt(n, limbs, iters=50):
 
     timed(2)  # compile + warm
     dt = _marginal_ms(timed, iters, f"NTT logN={n.bit_length()-1} x{limbs}",
-                      pairs=3)
+                      pairs=5)
     log(f"NTT logN={n.bit_length()-1} x{limbs} limbs: {dt*1e3:.3f} ms "
         f"({limbs/dt:.0f} limb-NTT/s)")
     return limbs / dt

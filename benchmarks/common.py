@@ -32,6 +32,33 @@ def enable_compile_cache(jax):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def marginal_pairs(timed, iters, pairs=5, log=None):
+    """Median-of-pairs marginal timing with a positivity guard.
+
+    `timed(reps)` runs the op `reps` times (blocking) and returns seconds.
+    A single (t_long - t_short) difference is exposed to one slow sample
+    (scheduler hiccup / background recompile) and can go negative — the
+    bug behind the invalid r03 headline and r04's unusable bsgs scaling
+    numbers.  Take several independent pairs, keep positive marginals,
+    report the median; fall back to direct per-op time (always positive,
+    includes dispatch) in a pathological environment."""
+    samples = []
+    for _ in range(pairs):
+        t_short = timed(2)
+        t_long = timed(2 + iters)
+        dt = (t_long - t_short) / iters
+        if dt > 0:
+            samples.append(dt)
+    if not samples:
+        samples = [timed(iters) / iters for _ in range(3)]
+    samples.sort()
+    med = samples[len(samples) // 2]
+    if log is not None:
+        spread = (samples[-1] - samples[0]) / med if med else float("inf")
+        log(f"  ({len(samples)} marginal pairs, spread {spread * 100:.0f}%)")
+    return med
+
+
 def make_ckks(n, data_bits, num_data, size_p, first_bits=60, aux_bits=60):
     from tpu_fhe.core.modulus import CoeffModulus
     from tpu_fhe.core.params import EncryptionParameters, SchemeType

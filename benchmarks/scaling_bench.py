@@ -193,7 +193,8 @@ def main():
 
             run(1)
             run(1)
-            dt = (run(1 + args.iters) - run(1)) / args.iters
+            from common import marginal_pairs
+            dt = marginal_pairs(run, args.iters, log=log)
         rate = batch / dt
         return rate
 
@@ -295,7 +296,8 @@ def bench_bsgs(args):
 
             run(1)
             run(1)
-            dt = (run(1 + args.iters) - run(1)) / args.iters
+            from common import marginal_pairs
+            dt = marginal_pairs(run, args.iters, log=log)
         rate = 1.0 / dt
         if base_rate is None:
             base_rate = rate

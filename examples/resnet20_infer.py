@@ -61,6 +61,9 @@ def main():
                     help="wall-clock seconds: checkpoint and exit(3) when "
                          "exceeded (run again to continue)")
     args = ap.parse_args()
+    if args.budget and not args.ckpt:
+        ap.error("--budget requires --ckpt (otherwise completed work "
+                 "would be lost at the budget exit)")
 
     import jax
 

@@ -534,12 +534,28 @@ class CkksBootstrapper:
 
     _BSGS_VMAP_AXES = (0, None, None, None, None, None, None, None)
 
+    def _compact_wrap(self, fn):
+        """q32 program-boundary compaction: stage outputs are canonical
+        residues (< 2^30), so their W64 hi planes are structurally zero.
+        Dropping them inside the program (ops/w64.compact_tree) halves
+        the at-rest HBM of every stage output — the r04 full-scale OOM
+        was the resident q32 base carrying zero hi planes at 2x bytes."""
+        if not self.ctx.is_q32:
+            return fn
+        from ..ops.w64 import compact_tree
+
+        def wrapped(*a, **k):
+            return compact_tree(fn(*a, **k))
+
+        return wrapped
+
     def _bsgs_jit(self, batched: bool = False):
         import jax
 
         base = self._bsgs_level
         if batched:
             base = jax.vmap(base, in_axes=self._BSGS_VMAP_AXES)
+        base = self._compact_wrap(base)
         if not self._stage_jit_enabled():
             return base
         attr = "_bsgs_jit_fn_batched" if batched else "_bsgs_jit_fn"
@@ -575,6 +591,7 @@ class CkksBootstrapper:
         if batched:
             fn = jax.vmap(fn, in_axes=in_axes)
             key = key + ("batched",)
+        fn = self._compact_wrap(fn)
         if not self._stage_jit_enabled():
             return fn
         f = self.__dict__.get(key)
@@ -596,6 +613,7 @@ class CkksBootstrapper:
 
         if batched:
             sine = jax.vmap(sine, in_axes=(0, None))
+        sine = self._compact_wrap(sine)
         if not self._stage_jit_enabled():
             return sine
         key = ("_sine_jit_fn", coefficients, batched)

@@ -598,7 +598,14 @@ def rescale_composite(ctx: FheContext, a: Ciphertext, limbs: int = 2) -> Ciphert
         return a
 
     drop_idx = list(range(L - limbs, L))
-    coeff = inverse_ntt(a.data[:, L - limbs:, :], level.ntt.slice_limbs(drop_idx))
+    # per-(level, limbs) cached slice: slice_limbs builds host index views
+    # and must never run per call on the bootstrap hot path
+    slice_cache = ctx.__dict__.setdefault("_comp_rescale_ntt_slices", {})
+    drop_ntt = slice_cache.get((a.chain_index, limbs))
+    if drop_ntt is None:
+        drop_ntt = level.ntt.slice_limbs(drop_idx)
+        slice_cache[(a.chain_index, limbs)] = drop_ntt
+    coeff = inverse_ntt(a.data[:, L - limbs:, :], drop_ntt)
     v = _garner_compose_u64(level, coeff, L - limbs, limbs, qd)  # [0, Q2)
 
     half = q2 >> 1

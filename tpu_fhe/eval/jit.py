@@ -24,26 +24,36 @@ class Evaluator:
     def __init__(self, ctx: FheContext):
         self.ctx = ctx
         c = ctx
-        self._add = jax.jit(lambda a, b: ev.add(c, a, b))
-        self._sub = jax.jit(lambda a, b: ev.sub(c, a, b))
-        self._negate = jax.jit(lambda a: ev.negate(c, a))
-        self._add_plain = jax.jit(lambda a, p: ev.add_plain(c, a, p))
-        self._sub_plain = jax.jit(lambda a, p: ev.sub_plain(c, a, p))
-        self._multiply = jax.jit(lambda a, b: ev.multiply(c, a, b))
-        self._multiply_plain = jax.jit(lambda a, p: ev.multiply_plain(c, a, p))
-        self._square = jax.jit(lambda a: ev.square(c, a))
-        self._relinearize = jax.jit(lambda a, k: ev.relinearize(c, a, k))
-        self._rescale = jax.jit(lambda a: ev.rescale_to_next(c, a))
-        self._mod_drop = jax.jit(lambda a: ev.mod_drop_to_next(c, a))
+        if ctx.is_q32:
+            # q32 program boundary: outputs are canonical residues
+            # (< 2^30) — compact their W64 hi planes away inside the
+            # program so at-rest ciphertexts cost half the HBM
+            from ..ops.w64 import compact_tree as _cp
+        else:
+            def _cp(x):
+                return x
+        self._add = jax.jit(lambda a, b: _cp(ev.add(c, a, b)))
+        self._sub = jax.jit(lambda a, b: _cp(ev.sub(c, a, b)))
+        self._negate = jax.jit(lambda a: _cp(ev.negate(c, a)))
+        self._add_plain = jax.jit(lambda a, p: _cp(ev.add_plain(c, a, p)))
+        self._sub_plain = jax.jit(lambda a, p: _cp(ev.sub_plain(c, a, p)))
+        self._multiply = jax.jit(lambda a, b: _cp(ev.multiply(c, a, b)))
+        self._multiply_plain = jax.jit(
+            lambda a, p: _cp(ev.multiply_plain(c, a, p))
+        )
+        self._square = jax.jit(lambda a: _cp(ev.square(c, a)))
+        self._relinearize = jax.jit(lambda a, k: _cp(ev.relinearize(c, a, k)))
+        self._rescale = jax.jit(lambda a: _cp(ev.rescale_to_next(c, a)))
+        self._mod_drop = jax.jit(lambda a: _cp(ev.mod_drop_to_next(c, a)))
         self._apply_galois = jax.jit(
-            lambda a, k, elt: ev.apply_galois_with_key(c, a, elt, k),
+            lambda a, k, elt: _cp(ev.apply_galois_with_key(c, a, elt, k)),
             static_argnums=(2,),
         )
         self._mul_relin = jax.jit(
-            lambda a, b, k: ev.relinearize(c, ev.multiply(c, a, b), k)
+            lambda a, b, k: _cp(ev.relinearize(c, ev.multiply(c, a, b), k))
         )
         self._square_relin = jax.jit(
-            lambda a, k: ev.relinearize(c, ev.square(c, a), k)
+            lambda a, k: _cp(ev.relinearize(c, ev.square(c, a), k))
         )
 
     # arithmetic ---------------------------------------------------------

@@ -29,6 +29,18 @@ from ..scheme.context import FheContext
 from ..scheme.keys import GaloisKey, RelinKey, SecretKey, PublicKey, encrypt_asymmetric
 
 
+def _block(x):
+    """Block on a pytree of device arrays and return it.
+
+    Every stage timing / Timer bucket in this module wraps device work in
+    JAX's async dispatch; without a block the printed time measures only
+    dispatch (the reference's cudaEvent timers measure device compute,
+    include/timer.h:38-177).  A stage print must never show 0.0s for real
+    device work."""
+    jax.block_until_ready(x)
+    return x
+
+
 def _index_stacked(ct: "Ciphertext", i: int) -> "Ciphertext":
     """Static-index one element of a stacked (batched) ciphertext."""
     return ct.with_data(
@@ -86,8 +98,18 @@ class DNN:
         """Cached jit for conv stage programs — same policy as the
         bootstrapper's stage jit (one XLA program per stage instead of
         per op; eager on CPU where the stage compiles were measured
-        intractable)."""
+        intractable).  q32 outputs compact at the program boundary
+        (ops/w64.compact_tree) — conv accumulators/outputs are among
+        the biggest at-rest buffers at N=2^16."""
         from ..boot.bootstrap import CkksBootstrapper
+
+        if self.ctx.is_q32:
+            from ..ops.w64 import compact_tree
+
+            inner = fn
+
+            def fn(*a, **k):  # noqa: F811
+                return compact_tree(inner(*a, **k))
 
         if not CkksBootstrapper._stage_jit_enabled():
             return fn
@@ -351,12 +373,24 @@ class DNN:
                     out_list[h] = accin_fn(rot_stack, pt_list,
                                            out_list[h], tap_idx)
             if dbg:
+                _block([o for o in out_list if o is not None])
                 print(f"    [conv] in_ch {k + 1}/{in_ch} "
                       f"({_time.time() - t0:.1f}s)", flush=True)
+        # an out channel with no live taps anywhere (fully pruned weights)
+        # never accumulated: emit an explicit zero ciphertext instead of
+        # handing None to keyswitch_down
+        templ = next((o for o in out_list if o is not None), None)
+        if templ is None:
+            raise ValueError("conv weight tensor is identically zero")
         out_cts = []
         for h in range(out_ch):
+            if out_list[h] is None:
+                out_list[h] = templ.with_data(
+                    jax.tree_util.tree_map(jnp.zeros_like, templ.data)
+                )
             out_cts.append(down_fn(out_list[h]))
             out_list[h] = None  # free the ext-basis accumulator eagerly
+        _block(out_cts)  # the Convolution bucket owns its device time
         return TensorCT(
             cts=out_cts,
             width=w // stride,
@@ -419,6 +453,7 @@ class DNN:
                 out = bootstrapper.eval_bootstrap_jit(ct, slots)
             else:
                 out = bootstrapper.eval_bootstrap(ct, slots=slots)
+            _block(out)
         if os.environ.get("TPU_FHE_DNN_LOG"):
             b = ct.data.shape[0] if ct.data.ndim == 4 else 1
             print(f"    [boot] batch={b} slots={slots} "
@@ -517,16 +552,16 @@ class DNN:
             chunk = t.cts[lo:lo + B]
             x = stack_cts(chunk)
             with timer.section("Relu"):
-                s = glue(("_dnn_sign", 0), stage0, True, (0, None))(
-                    x, self.mul_key)
+                s = _block(glue(("_dnn_sign", 0), stage0, True, (0, None))(
+                    x, self.mul_key))
             if dbg:
                 print(f"    [sign0] batch={len(chunk)} "
                       f"({time.time() - t0:.1f}s)", flush=True)
             s = self._boot_one(bootstrapper, s, slots)
             t0 = time.time()
             with timer.section("Relu"):
-                s = glue(("_dnn_sign", 1), stage1, True, (0, None))(
-                    s, self.mul_key)
+                s = _block(glue(("_dnn_sign", 1), stage1, True, (0, None))(
+                    s, self.mul_key))
             if dbg:
                 print(f"    [sign1] batch={len(chunk)} "
                       f"({time.time() - t0:.1f}s)", flush=True)
@@ -535,8 +570,8 @@ class DNN:
             with timer.section("Relu"):
                 s = glue(("_dnn_sign", "2a"), stage2a, True, (0, None))(
                     s, self.mul_key)
-                out = glue(("_dnn_sign", "2b"), stage2b, True,
-                           (0, 0, None))(s, x, self.mul_key)
+                out = _block(glue(("_dnn_sign", "2b"), stage2b, True,
+                                  (0, 0, None))(s, x, self.mul_key))
             if dbg:
                 print(f"    [sign2] batch={len(chunk)} "
                       f"({time.time() - t0:.1f}s)", flush=True)
@@ -554,12 +589,14 @@ class DNN:
             sign_cts = [auto.mult_const(ctx, ct, 0.1) for ct in t.cts]
             s = TensorCT(sign_cts, t.width, t.slotstr)
             s = self.sign(s, 0)
+            _block(s.cts)
         s = TensorCT(
             [self._boot_one(bootstrapper, ct, slots) for ct in s.cts],
             t.width, t.slotstr,
         )
         with timer.section("Relu"):
             s = self.sign(s, 1)
+            _block(s.cts)
         s = TensorCT(
             [self._boot_one(bootstrapper, ct, slots) for ct in s.cts],
             t.width, t.slotstr,
@@ -573,6 +610,7 @@ class DNN:
                 out_cts.append(
                     auto.eval_mult_auto(ctx, plus1, halfx, self.mul_key)
                 )
+            _block(out_cts)
         out_cts = [self._boot_one(bootstrapper, ct, slots) for ct in out_cts]
         return TensorCT(out_cts, t.width, t.slotstr)
 

@@ -164,6 +164,7 @@ def resnet20_infer(
     `on_stage_done(name, x)` fires after each, and `start_after=name`
     resumes right past that stage (pass the checkpointed tensor as `x`)."""
     from ..utils import timer
+    from .dnn import _block
 
     def conv(t, w, stride, key):
         with timer.section("Convolution"):
@@ -171,7 +172,9 @@ def resnet20_infer(
 
     def bnorm(t, p):
         with timer.section("BatchNorm"):
-            return model.batch_norm(t, p.weight, p.bias, p.mean, p.var)
+            out = model.batch_norm(t, p.weight, p.bias, p.mean, p.var)
+            _block(out.cts)
+            return out
 
     def stem(t):
         t = conv(t, weights["conv1"], 1, "conv1")
@@ -198,9 +201,11 @@ def resnet20_infer(
 
     def pool(t):
         with timer.section("PoolFC"):
-            return model.avg_pool_full_con(
+            out = model.avg_pool_full_con(
                 t, weights["fc_weight"], weights["fc_bias"]
             )
+            _block(out.cts)
+            return out
 
     stages: list = [("stem", stem)]
     for layer in (1, 2, 3)[:layers]:

@@ -153,19 +153,27 @@ class DeviceNTTTables:
         return ship_to_device([self])[0]
 
     def slice_limbs(self, indices: list[int]) -> "DeviceNTTTables":
+        # host_np: scalar companions may live on device after
+        # ship_to_device; np.asarray on a tunneled TPU array is a blocking
+        # D2H RPC, and rescale_composite calls this on the bootstrap hot
+        # path (host mirrors are recorded at ship time, so this is a pure
+        # host operation)
+        from ..utils.device import host_np
+
         idx = np.asarray(indices)
         return DeviceNTTTables(
-            q=np.asarray(self.q)[idx],
-            ratio_lo=np.asarray(self.ratio_lo)[idx],
-            ratio_hi=np.asarray(self.ratio_hi)[idx],
+            q=host_np(self.q)[idx],
+            ratio_lo=host_np(self.ratio_lo)[idx],
+            ratio_hi=host_np(self.ratio_hi)[idx],
             roots=_LazyRows.make(self.roots, idx),
             roots_shoup=_LazyRows.make(self.roots_shoup, idx),
             inv_roots=_LazyRows.make(self.inv_roots, idx),
             inv_roots_shoup=_LazyRows.make(self.inv_roots_shoup, idx),
-            inv_degree=np.asarray(self.inv_degree)[idx],
-            inv_degree_shoup=np.asarray(self.inv_degree_shoup)[idx],
+            inv_degree=host_np(self.inv_degree)[idx],
+            inv_degree_shoup=host_np(self.inv_degree_shoup)[idx],
             plan=self.plan,
-            limb_map=None if self.limb_map is None else self.limb_map[idx],
+            limb_map=None if self.limb_map is None else
+            host_np(self.limb_map)[idx],
         )
 
 

@@ -57,13 +57,34 @@ class _AtProxy:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class W64:
-    """A 64-bit array as two equally-shaped uint32 planes."""
+    """A 64-bit array as two equally-shaped uint32 planes.
+
+    COMPACT FORM (q32 regime): `hi_` may be None, meaning an implicitly
+    zero hi plane.  Every prime < 2^30 keeps residues (and their lazy
+    [0,4q) forms) inside the lo plane, so q32 ciphertexts/plaintexts at
+    rest carry a structurally-zero hi plane at 2x the bytes — the
+    identified cause of the full-scale ResNet OOM (r04).  Reading `.hi`
+    materializes zeros (XLA folds them in-program); structural ops
+    (`[]`, reshape) preserve compactness; arithmetic outputs are full
+    W64 pairs and are re-compacted at program boundaries by
+    `compact_q32` when the context is q32.
+    """
 
     lo: jnp.ndarray
-    hi: jnp.ndarray
+    hi_: "jnp.ndarray | None"
+
+    @property
+    def hi(self) -> jnp.ndarray:
+        if self.hi_ is None:
+            return jnp.zeros_like(self.lo)
+        return self.hi_
+
+    @property
+    def is_compact(self) -> bool:
+        return self.hi_ is None
 
     def tree_flatten(self):
-        return (self.lo, self.hi), None
+        return (self.lo, self.hi_), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -79,14 +100,16 @@ class W64:
         return self.lo.ndim
 
     def __getitem__(self, idx) -> "W64":
-        return W64(self.lo[idx], self.hi[idx])
+        return W64(self.lo[idx],
+                   None if self.hi_ is None else self.hi_[idx])
 
     @property
     def at(self) -> _AtProxy:
         return _AtProxy(self)
 
     def reshape(self, *shape) -> "W64":
-        return W64(self.lo.reshape(*shape), self.hi.reshape(*shape))
+        return W64(self.lo.reshape(*shape),
+                   None if self.hi_ is None else self.hi_.reshape(*shape))
 
     # -- conversions -------------------------------------------------------
     @staticmethod
@@ -108,8 +131,10 @@ class W64:
         return self.lo.astype(jnp.uint64) | (self.hi.astype(jnp.uint64) << jnp.uint64(32))
 
     def to_np(self) -> np.ndarray:
-        return (np.asarray(self.lo).astype(np.uint64)
-                | (np.asarray(self.hi).astype(np.uint64) << np.uint64(32)))
+        lo = np.asarray(self.lo).astype(np.uint64)
+        if self.hi_ is None:
+            return lo
+        return lo | (np.asarray(self.hi_).astype(np.uint64) << np.uint64(32))
 
 
 def as_w64(x) -> W64:
@@ -118,6 +143,24 @@ def as_w64(x) -> W64:
     if isinstance(x, np.ndarray):
         return W64.from_np(x)
     return W64.from_u64(x)
+
+
+def compact(w: W64) -> W64:
+    """Compact form: drop the hi plane (caller asserts values < 2^32)."""
+    return W64(w.lo, None)
+
+
+def compact_tree(x):
+    """Replace every W64 in a pytree with its compact (hi=None) form.
+
+    q32 program-boundary policy: outputs are canonical residues < 2^30,
+    so the hi planes are structurally zero — dropping them halves the
+    at-rest HBM of every ciphertext/plaintext (keys already store bare
+    u32, scheme/keys.py)."""
+    return jax.tree_util.tree_map(
+        lambda w: W64(w.lo, None) if isinstance(w, W64) else w,
+        x, is_leaf=lambda o: isinstance(o, W64),
+    )
 
 
 # -- array manipulation helpers ---------------------------------------------
@@ -169,12 +212,16 @@ def stack(ws, axis: int = 0) -> W64:
     ws = [as_w64(w) for w in ws]
     axis = axis % (ws[0].ndim + 1) if axis < 0 else axis
     los = [jnp.expand_dims(w.lo, axis) for w in ws]
+    if all(w.hi_ is None for w in ws):
+        return W64(_concat_planes(los, axis), None)
     his = [jnp.expand_dims(w.hi, axis) for w in ws]
     return W64(_concat_planes(los, axis), _concat_planes(his, axis))
 
 
 def concat(ws, axis: int = 0) -> W64:
     ws = [as_w64(w) for w in ws]
+    if all(w.hi_ is None for w in ws):
+        return W64(_concat_planes([w.lo for w in ws], axis), None)
     return W64(_concat_planes([w.lo for w in ws], axis),
                _concat_planes([w.hi for w in ws], axis))
 

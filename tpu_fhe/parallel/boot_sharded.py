@@ -34,11 +34,17 @@ _COLLECTIVES = (
 
 
 def collective_stats(hlo_text: str) -> dict:
-    """Count collective ops in compiled HLO text."""
+    """Count logical collective ops in compiled HLO text.
+
+    Async collectives lower as start/done pairs; counting only the
+    `-start` form plus the plain synchronous form (which never matches a
+    start/done line) counts each logical collective exactly once."""
     out: dict[str, int] = {}
     for name in _COLLECTIVES:
-        c = len(re.findall(rf"\b{name}(?:-start)?\(", hlo_text)) or \
-            len(re.findall(rf"= \S+ {name}", hlo_text))
+        c = (len(re.findall(rf"\b{name}-start\(", hlo_text))
+             + len(re.findall(rf"\b{name}\(", hlo_text)))
+        if not c:
+            c = len(re.findall(rf"= \S+ {name}(?![\w-])", hlo_text))
         if c:
             out[name] = c
     return out

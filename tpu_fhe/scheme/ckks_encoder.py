@@ -197,6 +197,10 @@ class CkksEncoder:
 
         data = _round_decompose(coeffs, level.base)
         poly = forward_ntt(W64.from_np(data), level.ntt)
+        if ctx.is_q32:
+            from ..ops import w64 as w64_mod
+
+            poly = w64_mod.compact(poly)  # residues < 2^30
         return Plaintext(
             data=poly, chain_index=chain_index, scale=scale, is_ntt_form=True
         )
@@ -311,6 +315,10 @@ class CkksEncoder:
             poly = forward_ntt(W64.from_np(planes), ntt)
             if ext:
                 poly = self._maybe_compact(poly)
+            elif ctx.is_q32:
+                from ..ops import w64 as w64_mod
+
+                poly = w64_mod.compact(poly)  # residues < 2^30
             out.extend(
                 Plaintext(
                     data=poly[i], chain_index=chain_index, scale=scale,

@@ -302,8 +302,11 @@ class SecretKey:
         a_s = mm.mul_mod(a, s, level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi)
         b = mm.neg_mod(mm.add_mod(a_s, e, level.mod.q), level.mod.q)
         c0 = mm.add_mod(b, pt.data, level.mod.q)
+        data = w64.stack([c0, a])
+        if ctx.is_q32:
+            data = w64.compact(data)  # residues < 2^30: hi plane is zero
         return Ciphertext(
-            data=w64.stack([c0, a]),
+            data=data,
             chain_index=pt.chain_index,
             scale=pt.scale,
             noise_scale_deg=pt.noise_scale_deg,
@@ -385,8 +388,11 @@ def _encrypt_asymmetric_impl(
     c0 = mm.add_mod(mm.mul_mod(u, pk0, q, rlo, rhi), e0, q)
     c0 = mm.add_mod(c0, pt.data, q)
     c1 = mm.add_mod(mm.mul_mod(u, pk1, q, rlo, rhi), e1, q)
+    data = w64.stack([c0, c1])
+    if context.is_q32:
+        data = w64.compact(data)  # residues < 2^30: hi plane is zero
     return Ciphertext(
-        data=w64.stack([c0, c1]),
+        data=data,
         chain_index=pt.chain_index,
         scale=pt.scale,
         noise_scale_deg=pt.noise_scale_deg,

@@ -29,8 +29,19 @@ from ..scheme import prng
 _MAGIC = "tpu-fhe-v1"
 
 
-def _planes(x: W64) -> tuple[np.ndarray, np.ndarray]:
-    return np.asarray(x.lo), np.asarray(x.hi)
+def _planes(x: W64) -> tuple[np.ndarray, "np.ndarray | None"]:
+    """(lo, hi) host planes; hi is None for compact (q32) payloads, which
+    serialize at half the bytes and reload compact."""
+    return np.asarray(x.lo), (
+        None if x.hi_ is None else np.asarray(x.hi_)
+    )
+
+
+def _plane_arrays(lo, hi) -> dict:
+    out = {"lo": lo}
+    if hi is not None:
+        out["hi"] = hi
+    return out
 
 
 def _w(lo: np.ndarray, hi: np.ndarray) -> W64:
@@ -64,7 +75,7 @@ def save_ciphertext(ct: Ciphertext, fp):
         "correction_factor": ct.correction_factor,
         "noise_scale_deg": ct.noise_scale_deg,
         "is_ntt_form": ct.is_ntt_form,
-    }, {"lo": lo, "hi": hi})
+    }, _plane_arrays(lo, hi))
 
 
 def load_ciphertext(fp) -> Ciphertext:
@@ -72,7 +83,7 @@ def load_ciphertext(fp) -> Ciphertext:
     if meta["kind"] != "ciphertext":
         raise ValueError(f"expected ciphertext, found {meta['kind']}")
     return Ciphertext(
-        data=_w(data["lo"], data["hi"]),
+        data=_w(data["lo"], data.get("hi")),
         chain_index=meta["chain_index"],
         scale=meta["scale"],
         correction_factor=meta["correction_factor"],
@@ -96,7 +107,7 @@ def save_ciphertext_symmetric(ct: Ciphertext, seed: np.ndarray, fp):
         "correction_factor": ct.correction_factor,
         "noise_scale_deg": ct.noise_scale_deg,
         "is_ntt_form": ct.is_ntt_form,
-    }, {"lo": lo, "hi": hi, "seed": np.asarray(seed)})
+    }, {**_plane_arrays(lo, hi), "seed": np.asarray(seed)})
 
 
 def load_ciphertext_symmetric(ctx: FheContext, fp) -> Ciphertext:
@@ -113,7 +124,7 @@ def load_ciphertext_symmetric(ctx: FheContext, fp) -> Ciphertext:
         k_a, level.size, ctx.n, level.mod.q, level.mod.ratio_lo,
         level.mod.ratio_hi,
     )
-    c0 = _w(data["lo"], data["hi"])
+    c0 = _w(data["lo"], data.get("hi"))
     return Ciphertext(
         data=w64.stack([c0, a]),
         chain_index=meta["chain_index"],
