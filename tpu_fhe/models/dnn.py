@@ -339,6 +339,18 @@ class DNN:
                 elt = galois_elt_from_step(rot, ctx.n)
                 rot_keys[elt] = self.gk.key_for_elt(elt)
 
+        if os.environ.get("TPU_FHE_CONV_DEVICE_ENCODE", "1") != "0":
+            # device-side mask encode: the host->device mask plaintext
+            # traffic (QlP*N*8 bytes PER (in,out,tap) weight) dominated warm
+            # conv at N=2^16 on a tunneled TPU (~150 s/input channel, r04);
+            # this path ships one fixed-point embedding per tap per geometry
+            # plus a few KB of per-channel weight scalars and builds the
+            # masks inside the accumulate program
+            return self._conv_device_encode(
+                t, cts, weight, rot_fn, down_fn, rot_keys, taps,
+                w, kh, stride, scale, ci, level,
+            )
+
         import time as _time
 
         dbg = os.environ.get("TPU_FHE_DNN_LOG")
@@ -390,6 +402,166 @@ class DNN:
                 )
             out_cts.append(down_fn(out_list[h]))
             out_list[h] = None  # free the ext-basis accumulator eagerly
+        _block(out_cts)  # the Convolution bucket owns its device time
+        return TensorCT(
+            cts=out_cts,
+            width=w // stride,
+            slotstr=t.slotstr + 1 if stride == 2 else t.slotstr,
+        )
+
+    _CONV_FP_BITS = 30  # fixed-point bits of the shipped mask embedding
+
+    def _conv_device_encode(self, t, cts, weight, rot_fn, down_fn, rot_keys,
+                            taps, w, kh, stride, scale, ci, level):
+        """Conv multiply-accumulate with masks built ON DEVICE.
+
+        The reference builds conv masks on device per tap (src/dnn.cu:
+        82-150); host-encoding them (rounds 2-4) shipped QlP*N*8 bytes per
+        (in, out, tap) weight over the TPU tunnel.  Here the plaintext
+        round(emb_tap * weight * scale) is reconstructed in-program from
+
+            e  = round(emb_tap * 2^F) + 2^31     (u32 row, shipped per
+                                                  geometry: T*N*4 bytes)
+            c  = round(weight * scale / 2^F) + 2^31   (u32 scalar per
+                                                       (out, tap) pair)
+
+        via  v = (e-2^31)*(c-2^31) = e*c - 2^31*e - 2^31*c + 2^62, reduced
+        mod each QlP limb with exact integer arithmetic (the c rounding
+        adds ~2^-28 relative mask error — far below bootstrap precision).
+        One scan over output channels inside ONE jitted program per
+        geometry replaces the per-(out_ch) encode+multiply dispatches; per
+        input channel the tunnel carries two dispatches and a few KB."""
+        import os
+        import time as _time
+
+        ctx = self.ctx
+        in_ch, out_ch = weight.shape[2], weight.shape[3]
+        ntaps = len(taps)
+        F = self._CONV_FP_BITS
+        q32 = ctx.is_q32
+
+        # per-geometry fixed-point embeddings (host FFT cached upstream)
+        ekey = ("embq", w, t.slotstr, kh)
+        emb_off = self._pt_cache.get(ekey)
+        if emb_off is None:
+            emb = np.stack([
+                np.asarray(self._mask_embedding(w, t.slotstr, kh, i, j))
+                for (i, j) in taps
+            ])
+            if float(np.max(np.abs(emb))) >= 1.99:
+                raise ValueError("mask embedding exceeds fixed-point range")
+            e_fixed = np.rint(emb * float(1 << F)).astype(np.int64)
+            emb_off = jnp.asarray(
+                (e_fixed + (1 << 31)).astype(np.uint64).astype(np.uint32))
+            self._pt_cache[ekey] = emb_off
+
+        q_np, rlo_np, rhi_np = ev._qlp_mod(level)
+        qlp = q_np.reshape(-1).astype(object)  # python ints for host mods
+        n_lp = len(qlp)
+        ext_ntt = self.encoder._ext_tables(ci)[1]
+        from dataclasses import replace
+        from ..ops.ntt import forward_ntt
+        from ..ops.w64 import W64
+
+        def host_consts(k):
+            """c_off (out_ch, T) u32 and D (out_ch, T, L) u64 pair for
+            input channel k: D = (2^62 - 2^31*c_int) mod q_l."""
+            lam = np.array(
+                [[float(weight[i, j, k, h]) for (i, j) in taps]
+                 for h in range(out_ch)], dtype=np.float64)
+            c_int = np.rint(lam * (scale / float(1 << F))).astype(np.int64)
+            if int(np.max(np.abs(c_int))) >= (1 << 31):
+                raise ValueError("conv weight*scale exceeds fixed-point "
+                                 "range (|weight| >= ~8)")
+            c_off = (c_int + (1 << 31)).astype(np.uint64).astype(np.uint32)
+            # v = (E-2^31)(C-2^31) = E*C - 2^31*E - 2^31*C + 2^62 and
+            # C = c_int + 2^31, so the E-independent term collapses to
+            # -2^31*c_int (the 2^62 cancels)
+            base = -(c_int << 31)  # int64, |.| < 2^62
+            d = np.empty((out_ch, ntaps, n_lp), dtype=np.uint64)
+            for l in range(n_lp):
+                d[:, :, l] = (base % np.int64(qlp[l])).astype(np.uint64)
+            return (jnp.asarray(c_off),
+                    jnp.asarray((d & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                    jnp.asarray((d >> np.uint64(32)).astype(np.uint32)))
+
+        qw = ev.w64.as_w64(q_np)
+        rlw = ev.w64.as_w64(rlo_np)
+        rhw = ev.w64.as_w64(rhi_np)
+
+        def masks_ntt(e1, c_off_h, dlo_h, dhi_h):
+            """(T, L, N) NTT-form mask plaintext planes for one out ch."""
+            E = W64(emb_off, jnp.zeros_like(emb_off))
+            C = W64(c_off_h[:, None], jnp.zeros_like(c_off_h[:, None]))
+            prod = ev.w64.mul_u64_lo(E, C)  # exact: < 2^64
+            r = ev.w64.barrett_reduce_u64(prod[:, None, :], qw, rhw)
+            r = ev.w64.sub_mod(r, e1, qw)
+            r = ev.w64.add_mod(r, W64(dlo_h, dhi_h)[:, :, None], qw)
+            return forward_ntt(r, ext_ntt)
+
+        def acc_program(rot_stack, c_off, dlo, dhi, prev):
+            rdata = rot_stack.data  # W64 (T, 2, QlP, N)
+            # h-independent term (E << 31) mod q, hoisted out of the scan
+            e31 = W64(emb_off << 31, emb_off >> 1)
+            e1 = ev.w64.barrett_reduce_u64(e31[:, None, :], qw, rhw)
+
+            def body(_, xs):
+                c_off_h, dlo_h, dhi_h = xs
+                pts = masks_ntt(e1, c_off_h, dlo_h, dhi_h)
+                acc = None
+                for e in range(ntaps):
+                    term = ev.w64.mul_mod(
+                        rdata[e], pts[e][None], qw, rlw, rhw)
+                    acc = term if acc is None else \
+                        ev.w64.add_mod(acc, term, qw)
+                out = (acc.lo,) if q32 else (acc.lo, acc.hi)
+                return None, out
+            _, outs = jax.lax.scan(body, None, (c_off, dlo, dhi))
+            out_lo = outs[0]
+            out_hi = None if q32 else outs[1]
+            if prev is not None:
+                plo = prev[0]
+                phi = None if q32 else prev[1]
+                s = ev.w64.add_mod(W64(out_lo, out_hi), W64(plo, phi), qw)
+                out_lo, out_hi = s.lo, (None if q32 else s.hi)
+            return (out_lo,) if q32 else (out_lo, out_hi)
+
+        acc_fn = self._stage_jit(("_conv_acc_dev", ntaps),
+                                 lambda r, c, dl, dh: acc_program(
+                                     r, c, dl, dh, None))
+        accin_fn = self._stage_jit(("_conv_acc_dev_into", ntaps),
+                                   lambda r, c, dl, dh, p: acc_program(
+                                       r, c, dl, dh, p))
+
+        dbg = os.environ.get("TPU_FHE_DNN_LOG")
+        out_acc = None
+        templ = None
+        for k in range(in_ch):
+            t0 = _time.time()
+            rot_stack = rot_fn(cts[k], rot_keys)
+            if templ is None:
+                templ = _index_stacked(rot_stack, 0)
+            c_off, dlo, dhi = host_consts(k)
+            if out_acc is None:
+                out_acc = acc_fn(rot_stack, c_off, dlo, dhi)
+            else:
+                out_acc = accin_fn(rot_stack, c_off, dlo, dhi, out_acc)
+            if dbg:
+                _block(out_acc)
+                print(f"    [conv] in_ch {k + 1}/{in_ch} "
+                      f"({_time.time() - t0:.1f}s)", flush=True)
+
+        out_lo = out_acc[0]
+        out_hi = None if q32 else out_acc[1]
+        out_cts = []
+        for h in range(out_ch):
+            data = W64(out_lo[h], None if out_hi is None else out_hi[h])
+            ct_h = replace(
+                templ, data=data,
+                scale=templ.scale * scale,
+                noise_scale_deg=templ.noise_scale_deg + 1,
+            )
+            out_cts.append(down_fn(ct_h))
         _block(out_cts)  # the Convolution bucket owns its device time
         return TensorCT(
             cts=out_cts,
