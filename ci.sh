@@ -21,7 +21,11 @@ run_test() {
 }
 
 run_test_full() {
-  python -m pytest tests/ -x -q
+  # provision the persistent XLA:CPU cache (tests/conftest.py points at it;
+  # cold-cache compiles dominated the 78-min r04 full-tier run) and spread
+  # the compile load over both cores
+  mkdir -p /tmp/jax_cache
+  python -m pytest tests/ -q -n 2 --maxfail=1
 }
 
 run_drive() {

@@ -534,6 +534,36 @@ class CkksBootstrapper:
 
     _BSGS_VMAP_AXES = (0, None, None, None, None, None, None, None)
 
+    @staticmethod
+    def _maybe_timed(name: str, fn):
+        """TPU_FHE_BOOT_STAGE_TIME=1: blocked wall-clock per stage program.
+
+        Blocks on the stage inputs first so each line charges only its own
+        device time (async dispatch otherwise attributes upstream work to
+        whichever stage blocks first); mirrors the reference's per-stage
+        cudaEvent prints (bootstrapping_example.cu:137-196)."""
+        import os
+
+        if os.environ.get("TPU_FHE_BOOT_STAGE_TIME", "") != "1":
+            return fn
+        import time as _t
+
+        import jax as _jax
+
+        def timed(*a, **k):
+            _jax.block_until_ready([
+                x for x in _jax.tree_util.tree_leaves((a, k))
+                if hasattr(x, "block_until_ready")
+            ])
+            t0 = _t.perf_counter()
+            out = fn(*a, **k)
+            _jax.block_until_ready(out)
+            print(f"[boot-stage] {name}: "
+                  f"{(_t.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
+            return out
+
+        return timed
+
     def _compact_wrap(self, fn):
         """q32 program-boundary compaction: stage outputs are canonical
         residues (< 2^30), so their W64 hi planes are structurally zero.
@@ -557,13 +587,13 @@ class CkksBootstrapper:
             base = jax.vmap(base, in_axes=self._BSGS_VMAP_AXES)
         base = self._compact_wrap(base)
         if not self._stage_jit_enabled():
-            return base
+            return self._maybe_timed("bsgs", base)
         attr = "_bsgs_jit_fn_batched" if batched else "_bsgs_jit_fn"
         fn = self.__dict__.get(attr)
         if fn is None:
             fn = jax.jit(base, static_argnums=(3, 4, 5, 6, 7))
             self.__dict__[attr] = fn
-        return fn
+        return self._maybe_timed("bsgs", fn)
 
     def _keys_for(self, rot_in, rot_out) -> dict[int, RelinKey]:
         # the key subset one BSGS level needs, as a jit-arg pytree
@@ -593,12 +623,12 @@ class CkksBootstrapper:
             key = key + ("batched",)
         fn = self._compact_wrap(fn)
         if not self._stage_jit_enabled():
-            return fn
+            return self._maybe_timed(str(key[0]), fn)
         f = self.__dict__.get(key)
         if f is None:
             f = jax.jit(fn)
             self.__dict__[key] = f
-        return f
+        return self._maybe_timed(str(key[0]), f)
 
     def _sine_jit(self, coefficients: tuple[float, ...],
                   batched: bool = False):
@@ -615,13 +645,13 @@ class CkksBootstrapper:
             sine = jax.vmap(sine, in_axes=(0, None))
         sine = self._compact_wrap(sine)
         if not self._stage_jit_enabled():
-            return sine
+            return self._maybe_timed("sine", sine)
         key = ("_sine_jit_fn", coefficients, batched)
         fn = self.__dict__.get(key)
         if fn is None:
             fn = jax.jit(sine)
             self.__dict__[key] = fn
-        return fn
+        return self._maybe_timed("sine", fn)
 
     def _bsgs_level(
         self,

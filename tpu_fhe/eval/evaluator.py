@@ -314,11 +314,21 @@ def modup(
                 c2[dt.start:dt.end],
                 level.ntt.slice_limbs(list(range(dt.start, dt.end))),
             )
-        full = w64.concat(
-            [conv_ntt[: dt.start], own, conv_ntt[dt.start:]],
-            axis=0,
-        )
-        digits.append(full)
+        if q32:
+            # q32: every piece is a compact residue plane (< 2^30); splice
+            # the lo planes only so the structurally-zero hi planes are
+            # never materialized by the concat/stack copies
+            digits.append(jnp.concatenate(
+                [conv_ntt.lo[: dt.start], own.lo, conv_ntt.lo[dt.start:]],
+                axis=0,
+            ))
+        else:
+            digits.append(w64.concat(
+                [conv_ntt[: dt.start], own, conv_ntt[dt.start:]],
+                axis=0,
+            ))
+    if q32:
+        return W64(jnp.stack(digits), None)
     return w64.stack(digits)
 
 

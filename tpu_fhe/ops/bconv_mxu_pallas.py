@@ -270,7 +270,7 @@ def bconv_matmul_mxu_pallas32(scaled, qhat_mod_p, p, tile: int = DEF_TILE):
     )(jnp.asarray(a_big), *consts, xlo)
     shape = lead + (k_out, n)
     olo = olo.reshape(shape)
-    return W64(olo, jnp.zeros_like(olo))
+    return W64(olo, None)  # compact: q32 residues < 2^30
 
 
 def bconv_matmul_mxu_pallas(scaled, qhat_mod_p, p, p_rlo, p_rhi,

@@ -279,7 +279,7 @@ def key_inner_prod_shoup_pallas32(t, evk, evk_shoup32, limb_map, q_words):
         interpret=_interpret(),
     )(*scalars, tlo, klo, kslo)
     olo = olo.reshape(2, L, n)
-    return W64(olo, jnp.zeros_like(olo))
+    return W64(olo, None)  # compact: q32 residues < 2^30
 
 
 def key_inner_prod_pallas32(t, evk, limb_map, q_words):
@@ -349,7 +349,7 @@ def key_inner_prod_pallas32(t, evk, limb_map, q_words):
         interpret=_interpret(),
     )(*scalars, tlo, klo)
     olo = olo.reshape(2, L, n)
-    return W64(olo, jnp.zeros_like(olo))
+    return W64(olo, None)  # compact: q32 residues < 2^30
 
 
 def key_inner_prod_pallas(t, evk, limb_map, q_words, ratio_lo, ratio_hi):

@@ -904,7 +904,7 @@ def _call32(x, plan: NTTPlan32, limb_map, forward: bool, scale2=None,
     )(*scalars, *data_refs, *tw)
     shape = lead + (Lc, n)
     olo = olo.reshape(shape)
-    return W64(olo, jnp.zeros_like(olo))
+    return W64(olo, None)  # compact: q32 residues < 2^30
 
 
 def host_scale_pair32(scale, q) -> tuple:
