@@ -174,7 +174,12 @@ def main():
         ctx, level, x[0, :L], is_ntt=True)), tmu)
     measure("moddown", lambda x: fold(x, ev.moddown_from_ntt(
         ctx, level, x, output_ntt=True)), cx)
-    measure("galois", lambda x: fold(x, apply_galois_ntt(x, elt, n)), cx)
+    for impl in ("gather", "decomp", "decomp_mm"):
+        _os.environ["TPU_FHE_GALOIS_IMPL"] = impl
+        measure(f"galois[{impl}]",
+                (lambda imp: lambda x: fold(x, apply_galois_ntt(x, elt, n)))(impl),
+                cx)
+    _os.environ.pop("TPU_FHE_GALOIS_IMPL", None)
     measure("mult_ext", lambda x: fold(x, hst.eval_mult_ext(
         ctx, ct_ext.with_data(x), pt).data), cx)
     measure("add_ext", lambda x: fold(x, hst.eval_add_ext(

@@ -45,9 +45,32 @@ def _ntt_permutation(n: int, elt: int) -> np.ndarray:
     return pos_of_e[target]
 
 
+def _galois_impl() -> str:
+    import os
+
+    return os.environ.get("TPU_FHE_GALOIS_IMPL", "gather")
+
+
 def apply_galois_ntt(x, elt: int, n: int):
-    """Apply sigma_elt to NTT-form data (..., N) via one gather.
-    Works on W64 pairs and plain arrays alike (pure indexing)."""
+    """Apply sigma_elt to NTT-form data (..., N).
+
+    Default: one lane gather (pure indexing; the reference's CUDA gather,
+    src/galois.cu:104-120).  TPU_FHE_GALOIS_IMPL=decomp / decomp_mm uses
+    the bit-reversed-affine decomposition (ops/galois_decomp.py) — a
+    gather-free transpose/roll/permutation-matmul chain for backends where
+    the N-wide lane gather lowers poorly."""
+    impl = _galois_impl()
+    if impl in ("decomp", "decomp_mm") and n >= 16 and elt % 2 == 1:
+        from . import w64 as w64_mod
+        from .galois_decomp import apply_galois_ntt_decomp
+
+        use_mm = impl == "decomp_mm"
+        if isinstance(x, w64_mod.W64):
+            lo = apply_galois_ntt_decomp(x.lo, elt, n, use_mm)
+            hi = (None if x.hi_ is None
+                  else apply_galois_ntt_decomp(x.hi_, elt, n, use_mm))
+            return w64_mod.W64(lo, hi)
+        return apply_galois_ntt_decomp(x, elt, n, use_mm)
     perm = jnp.asarray(_ntt_permutation(n, elt))
     return x[..., perm]
 
