@@ -182,6 +182,32 @@ def _limb_mesh_active() -> bool:
         return False
 
 
+def _replicate_mesh(x: W64) -> W64:
+    """Explicitly replicate a small boundary block under an active limb
+    mesh: the SPMD partitioner then emits ONE all-gather for it instead of
+    a train of per-shard collective-permutes (the r04 scaling logs' 12->30
+    permute growth came from limb-boundary slices in rescale/moddown
+    being resharded piecemeal)."""
+    if not w64._in_mesh_context():
+        return x
+    try:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+        if m.empty:
+            return x
+        rep = NamedSharding(m, _P())
+
+        def con(v):
+            return _jax.lax.with_sharding_constraint(v, rep)
+
+        return W64(con(x.lo), None if x.hi_ is None else con(x.hi_))
+    except Exception:  # pragma: no cover - private API moved
+        return x
+
+
 def _mesh_modup_tables(level: ContextLevel):
     """Per-level tables for the shard-friendly (mask-select) modup form:
     full-QlP NTT tables, per-digit (QlP, alpha) conversion matrices with
@@ -248,19 +274,7 @@ def _modup_mesh(
     # replicate the scaled coefficient rows ONCE (one all-gather of the
     # (L, N) block) instead of letting the partitioner emit per-digit
     # boundary gathers for every alpha-row slice below
-    try:
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-        from jax._src import mesh as _mesh_lib
-
-        m = _mesh_lib.thread_resources.env.physical_mesh
-        if not m.empty:
-            rep = NamedSharding(m, _P())
-            scaled = W64(
-                jax.lax.with_sharding_constraint(scaled.lo, rep),
-                jax.lax.with_sharding_constraint(scaled.hi, rep),
-            )
-    except Exception:  # pragma: no cover
-        pass
+    scaled = _replicate_mesh(scaled)
 
     digits = []
     for dt, (qhat_all, own_mask) in zip(ks.digits, per_digit):
@@ -440,19 +454,19 @@ def moddown_from_ntt(
         # t-preserving subtraction (reference bgv_moddown_kernel): delta =
         # t*U with U = [x * t^{-1}]_P, so delta = x (mod P) and 0 (mod t);
         # the alpha*t*P conversion overshoot divides to alpha*t = 0 mod t.
-        scaled = inverse_ntt_scaled(
+        scaled = _replicate_mesh(inverse_ntt_scaled(
             cx[..., size_Ql:, :], ks.p_ntt,
             ks.tinv_p_hatinv, ks.tinv_p_hatinv_shoup,
-        )
+        ))
         delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi, src_q32=q32,
         )
         pre, pre_shoup = ks.t_mod_q, ks.t_mod_q_shoup
     else:
-        scaled = inverse_ntt_scaled(
+        scaled = _replicate_mesh(inverse_ntt_scaled(
             cx[..., size_Ql:, :], ks.p_ntt, ks.p_hatinv, ks.p_hatinv_shoup
-        )
+        ))
         delta = bconv_matmul(
             scaled, ks.p_hat_mod_q, level.mod.q, level.mod.ratio_lo,
             level.mod.ratio_hi, src_q32=q32,
@@ -516,7 +530,8 @@ def rescale_to_next(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     q_last = q[-1:]  # (1,1)
     half = q_last >> 1
 
-    last_coeff = inverse_ntt(a.data[:, -1:, :], level.ntt.slice_limbs([size_Ql - 1]))
+    last_coeff = _replicate_mesh(inverse_ntt(
+        a.data[:, -1:, :], level.ntt.slice_limbs([size_Ql - 1])))
     # add q_last/2 for rounding, then reduce into each remaining q_i
     last_half = mm.add_mod(last_coeff, half, q_last)
     rest_mod = ctx.level(a.chain_index + 1).mod

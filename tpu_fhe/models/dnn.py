@@ -572,16 +572,72 @@ class DNN:
     def batch_norm(
         self, t: TensorCT, weight, bias, mean, var, eps: float = 1e-5
     ) -> TensorCT:
-        """Folded affine a*x + b per channel (BatchNorm, src/dnn.cu:454-480)."""
+        """Folded affine a*x + b per channel (BatchNorm, src/dnn.cu:454-480).
+
+        All channels run through ONE jitted program with the per-channel
+        CRT lifts (GetElementForEvalMult/AddOrSub residues) shipped as
+        arguments — the per-channel eager loop cost 2 tunnel dispatches
+        per channel."""
         ctx = self.ctx
-        cts = []
-        for c_idx, ct in enumerate(t.cts):
+        from dataclasses import replace
+        from ..ops.w64 import W64
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
+        cts = [auto.mod_reduce(ctx, c, 1) if c.noise_scale_deg == 2 else c
+               for c in t.cts]
+        tc = len(cts)
+        level = ctx.level(cts[0].chain_index)
+        sf, _ = auto.scaling_factors(ctx)
+        scf = sf[auto._level(cts[0], ctx)]
+        qs = level.base.values
+        n_l = len(qs)
+        deg_out = cts[0].noise_scale_deg + 1
+        int_scf = int(round(scf))
+        ac = np.zeros((tc, n_l), dtype=np.uint64)
+        bc = np.zeros((tc, n_l), dtype=np.uint64)
+        for c_idx in range(tc):
             a = float(weight[c_idx]) / math.sqrt(float(var[c_idx]) + eps)
             b = float(bias[c_idx]) - a * float(mean[c_idx])
-            out = auto.mult_const(ctx, ct, a)
-            out = auto.add_const(ctx, out, b)
-            cts.append(out)
-        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+            big = int(round(a * scf))
+            ac[c_idx] = [big % q for q in qs]
+            cb = int(round(b * scf))
+            for _ in range(1, deg_out):
+                cb *= int_scf
+            bc[c_idx] = [cb % q for q in qs]
+
+        def pair(v):
+            return (jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                    jnp.asarray((v >> np.uint64(32)).astype(np.uint32)))
+
+        a_lo, a_hi = pair(ac)
+        b_lo, b_hi = pair(bc)
+
+        def bn_stage(stk, alo, ahi, blo, bhi):
+            data = stk.data  # W64 (tc, 2, L, N)
+            fa = W64(alo[:, None, :, None], ahi[:, None, :, None])
+            out = ev.w64.mul_mod(
+                data, fa, level.mod.q,
+                level.mod.ratio_lo, level.mod.ratio_hi,
+            )
+            fb = W64(blo[:, :, None], bhi[:, :, None])
+            c0 = ev.w64.add_mod(out[:, 0], fb, level.mod.q)
+            out = ev.w64.concat([c0[:, None], out[:, 1:]], axis=1)
+            return (out.lo, out.hi)
+
+        bn_fn = self._stage_jit(("_bn", tc), bn_stage)
+        stacked = stack_cts(cts)
+        out_lo, out_hi = bn_fn(stacked, a_lo, a_hi, b_lo, b_hi)
+        templ = _index_stacked(stacked, 0)
+        out_cts = [
+            replace(
+                templ,
+                data=W64(out_lo[c], out_hi[c]),
+                noise_scale_deg=templ.noise_scale_deg + 1,
+                scale=templ.scale * scf,
+            )
+            for c in range(tc)
+        ]
+        return TensorCT(cts=out_cts, width=t.width, slotstr=t.slotstr)
 
     def relu(self, t: TensorCT, a: float, b: float, deg: int) -> TensorCT:
         """Chebyshev max(0, x) (Relu, src/dnn.cu:152-168)."""
@@ -827,31 +883,120 @@ class DNN:
         assert tc == t.num_ch
         pow_s = 1 << t.slotstr
         log_l = int(math.log2(t.width))
-        summed = []
-        for ct in t.cts:
+        from dataclasses import replace
+        from ..ops.galois import galois_elt_from_step
+        from ..ops.w64 import W64
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
+        steps = tuple(
+            [pow_s << i for i in range(log_l)]
+            + [(pow_s << j) * t.width for j in range(log_l)]
+        )
+        keys = {}
+        for s_ in steps:
+            elt = galois_elt_from_step(s_, ctx.n)
+            keys[elt] = self.gk.key_for_elt(elt)
+
+        # degree-1 operands up front (mult_const semantics) so every
+        # channel shares one program + metadata
+        cts = [auto.mod_reduce(ctx, c, 1) if c.noise_scale_deg == 2 else c
+               for c in t.cts]
+
+        # stage 1: log-rotation sum, all channels in ONE vmapped program
+        # (the per-(channel, rotation) eager loop cost ~1700 tunnel
+        # dispatches at full scale — the r04 doll-TPU run died here)
+        def pool_stage(ct, ks):
             acc = ct
-            for i in range(log_l):
+            for s_ in steps:
+                elt = galois_elt_from_step(s_, ctx.n)
                 acc = auto.eval_add_auto(
-                    ctx, ev.rotate(ctx, acc, pow_s << i, self.gk), acc
+                    ctx, ev.apply_galois_with_key(ctx, acc, elt, ks[elt]), acc
                 )
-            for j in range(log_l):
-                acc = auto.eval_add_auto(
-                    ctx, ev.rotate(ctx, acc, (pow_s << j) * t.width, self.gk), acc
-                )
-            summed.append(acc)
-        out: list[Ciphertext | None] = [None] * T
+            return acc
+
+        pool_fn = self._stage_jit(
+            ("_pool_sum", steps),
+            jax.vmap(pool_stage, in_axes=(0, None)),
+        )
+        summed = pool_fn(stack_cts(cts), keys)
+
+        # stage 2: FC = modular matvec over the channel axis with the CRT
+        # weight lifts shipped as arguments (GetElementForEvalMult residues,
+        # auto._crt_lift_mult) — one program instead of T*tc mult_consts
+        level = ctx.level(cts[0].chain_index)
+        sf, _ = auto.scaling_factors(ctx)
+        scf = sf[auto._level(cts[0], ctx)]
+        qs = level.base.values
+        n_l = len(qs)
+        wc = np.zeros((T, tc, n_l), dtype=np.uint64)
         for u in range(T):
             for k in range(tc):
-                term = auto.mult_const(ctx, summed[k], float(weight[u, k]))
-                out[u] = term if out[u] is None else \
-                    auto.eval_add_auto(ctx, out[u], term)
-        out = [auto.add_const(ctx, ct, float(bias[u])) for u, ct in enumerate(out)]
-        return TensorCT(out, t.width, t.slotstr)
+                big = int(round(float(weight[u, k]) * scf))
+                wc[u, k] = [big % q for q in qs]
+        deg_out = cts[0].noise_scale_deg + 1
+        int_scf = int(round(scf))
+        bc = np.zeros((T, n_l), dtype=np.uint64)
+        for u in range(T):
+            c = int(round(float(bias[u]) * scf))
+            for _ in range(1, deg_out):
+                c *= int_scf
+            bc[u] = [c % q for q in qs]
+
+        def pair(a):
+            return (jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                    jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
+
+        wc_lo, wc_hi = pair(wc)
+        bc_lo, bc_hi = pair(bc)
+
+        def fc_stage(stk, wlo, whi, blo, bhi):
+            data = stk.data  # W64 (tc, 2, L, N)
+            outs_lo, outs_hi = [], []
+            for u in range(T):
+                acc = None
+                for k in range(tc):
+                    f = W64(wlo[u, k][:, None], whi[u, k][:, None])
+                    term = ev.w64.mul_mod(
+                        data[k], f[None], level.mod.q,
+                        level.mod.ratio_lo, level.mod.ratio_hi,
+                    )
+                    acc = term if acc is None else \
+                        ev.w64.add_mod(acc, term, level.mod.q)
+                b = W64(blo[u][:, None], bhi[u][:, None])
+                c0 = ev.w64.add_mod(acc[0], b, level.mod.q)
+                out = ev.w64.concat([c0[None], acc[1:]], axis=0)
+                outs_lo.append(out.lo)
+                outs_hi.append(out.hi)
+            return (jnp.stack(outs_lo), jnp.stack(outs_hi))
+
+        fc_fn = self._stage_jit(("_pool_fc", T, tc), fc_stage)
+        out_lo, out_hi = fc_fn(summed, wc_lo, wc_hi, bc_lo, bc_hi)
+        templ = _index_stacked(summed, 0)
+        out_cts = [
+            replace(
+                templ,
+                data=W64(out_lo[u], out_hi[u]),
+                noise_scale_deg=templ.noise_scale_deg + 1,
+                scale=templ.scale * scf,
+            )
+            for u in range(T)
+        ]
+        _block(out_cts)
+        return TensorCT(out_cts, t.width, t.slotstr)
 
     def add(self, a: TensorCT, b: TensorCT) -> TensorCT:
         if (a.num_ch, a.width, a.slotstr) != (b.num_ch, b.width, b.slotstr):
             raise ValueError("TensorCT dimension mismatch in add")
-        cts = [
-            auto.eval_add_auto(self.ctx, x, y) for x, y in zip(a.cts, b.cts)
-        ]
-        return TensorCT(cts, a.width, a.slotstr)
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
+        # one vmapped program for the whole residual add (per-channel eager
+        # adds cost a tunnel dispatch each); eval_add_auto's level/depth
+        # adjustment branches on metadata, which stack_cts guarantees is
+        # uniform per tensor
+        add_fn = self._stage_jit(
+            ("_tensor_add",),
+            jax.vmap(lambda x, y: auto.eval_add_auto(self.ctx, x, y),
+                     in_axes=(0, 0)),
+        )
+        out = add_fn(stack_cts(a.cts), stack_cts(b.cts))
+        return TensorCT(unstack_cts(out, a.num_ch), a.width, a.slotstr)
