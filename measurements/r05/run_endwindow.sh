@@ -21,9 +21,12 @@ run_scaling() {
 }
 
 run_meta() {
+  # --iterations 1,2: the single-pass run both re-measures warm latency +
+  # precision at logN=16 (stage-timed) and seeds Meta-BTS's precision
+  # argument; the Meta-BTS passes then reuse the compiled stage programs
   TPU_FHE_BOOT_STAGE_TIME=1 TPU_FHE_BOOT_KEY_SHOUP=0 \
-  timeout 5400 python -u examples/bootstrap_ckks.py --q32 --logn 16 \
-    --iterations 2 2>&1 | tee "$R/boot16_meta_q32.log"
+  timeout 6000 python -u examples/bootstrap_ckks.py --q32 --logn 16 \
+    --iterations 1,2 2>&1 | tee "$R/boot16_meta_q32.log"
 }
 
 run_micro() {
