@@ -202,7 +202,9 @@ def main():
             ts = time.time()
             rn.save_tensor_ct(t, args.ckpt, stage=name)
             print(f"  [ckpt] saved after {name} ({time.time() - ts:.0f}s)")
-        if args.budget and time.time() - t1 > args.budget:
+        if args.budget and time.time() - t1 > args.budget and name != "pool":
+            # pool is the last stage: nothing left to budget, let the
+            # decrypt/logits print happen
             raise _Budget(name)
 
     try:

@@ -613,7 +613,7 @@ class DNN:
         b_lo, b_hi = pair(bc)
 
         def bn_stage(stk, alo, ahi, blo, bhi):
-            data = stk.data  # W64 (tc, 2, L, N)
+            data = stk.data  # W64 (nc, 2, L, N)
             fa = W64(alo[:, None, :, None], ahi[:, None, :, None])
             out = ev.w64.mul_mod(
                 data, fa, level.mod.q,
@@ -624,43 +624,73 @@ class DNN:
             out = ev.w64.concat([c0[:, None], out[:, 1:]], axis=1)
             return (out.lo, out.hi)
 
-        bn_fn = self._stage_jit(("_bn", tc), bn_stage)
-        stacked = stack_cts(cts)
-        out_lo, out_hi = bn_fn(stacked, a_lo, a_hi, b_lo, b_hi)
-        templ = _index_stacked(stacked, 0)
-        out_cts = [
-            replace(
-                templ,
-                data=W64(out_lo[c], out_hi[c]),
-                noise_scale_deg=templ.noise_scale_deg + 1,
-                scale=templ.scale * scf,
+        bs = self.channel_batch(tc)
+        out_cts = []
+        for c0 in range(0, tc, bs):
+            nc = min(bs, tc - c0)
+            bn_fn = self._stage_jit(("_bn", nc), bn_stage)
+            stacked = stack_cts(cts[c0:c0 + nc])
+            out_lo, out_hi = bn_fn(
+                stacked, a_lo[c0:c0 + nc], a_hi[c0:c0 + nc],
+                b_lo[c0:c0 + nc], b_hi[c0:c0 + nc],
             )
-            for c in range(tc)
-        ]
+            templ = _index_stacked(stacked, 0)
+            out_cts.extend(
+                replace(
+                    templ,
+                    data=W64(out_lo[c], out_hi[c]),
+                    noise_scale_deg=templ.noise_scale_deg + 1,
+                    scale=templ.scale * scf,
+                )
+                for c in range(nc)
+            )
         return TensorCT(cts=out_cts, width=t.width, slotstr=t.slotstr)
+
+    def _vmap_channels(self, key, fn, t: TensorCT, *shared) -> TensorCT:
+        """Run a per-channel op over channels in vmapped stage programs,
+        chunked to the channel-batch memory budget (channel_batch) — an
+        unbounded stack OOMed the 16-channel full-scale stem."""
+        out = self._vmap_cts(key, fn, t.cts, *shared)
+        return TensorCT(out, t.width, t.slotstr)
+
+    def _vmap_cts(self, key, fn, cts: list, *shared) -> list:
+        from ..scheme.ciphertext import stack_cts, unstack_cts
+
+        bs = self.channel_batch(len(cts))
+        outs = []
+        for c0 in range(0, len(cts), bs):
+            chunk = cts[c0:c0 + bs]
+            staged = self._stage_jit(
+                (key, len(chunk)),
+                jax.vmap(fn, in_axes=(0,) + (None,) * len(shared)),
+            )
+            outs.extend(
+                unstack_cts(staged(stack_cts(chunk), *shared), len(chunk))
+            )
+        return outs
 
     def relu(self, t: TensorCT, a: float, b: float, deg: int) -> TensorCT:
         """Chebyshev max(0, x) (Relu, src/dnn.cu:152-168)."""
         coeffs = cheb.eval_chebyshev_coefficients(
             lambda x: max(0.0, x), a, b, deg
         )
-        cts = [
-            cheb.eval_chebyshev_series(self.ctx, ct, self.mul_key, coeffs, a, b)
-            for ct in t.cts
-        ]
-        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+        return self._vmap_channels(
+            ("_relu", a, b, deg),
+            lambda ct, key: cheb.eval_chebyshev_series(
+                self.ctx, ct, key, coeffs, a, b),
+            t, self.mul_key,
+        )
 
     def sign(self, t: TensorCT, k: int) -> TensorCT:
         """Stage k of the 3-stage minimax sign composite
         (Sign, src/dnn.cu:170-191)."""
         a, b = _SIGN_RANGES[k]
-        cts = [
-            cheb.eval_chebyshev_series(
-                self.ctx, ct, self.mul_key, _SIGN_COEFFS[k], a, b
-            )
-            for ct in t.cts
-        ]
-        return TensorCT(cts=cts, width=t.width, slotstr=t.slotstr)
+        return self._vmap_channels(
+            ("_sign", k),
+            lambda ct, key: cheb.eval_chebyshev_series(
+                self.ctx, ct, key, _SIGN_COEFFS[k], a, b),
+            t, self.mul_key,
+        )
 
     def _boot_one(self, bootstrapper, ct: Ciphertext, slots: int) -> Ciphertext:
         """One bootstrap under the 'Bootstrap' timer bucket (the reference's
@@ -853,24 +883,48 @@ class DNN:
         coeffs = cheb.eval_chebyshev_coefficients(math.exp, -1.0, 1.0, 12)
         log_b = int(math.log2(bound_b))
         log_lam = int(math.log2(gumbel_lambda))
-        cts = []
-        sum_ct = None
-        for k, ct in enumerate(t.cts):
+        from ..scheme.ciphertext import stack_cts
+
+        # per-channel exp branch: ONE vmapped program
+        def exp_stage(ct, key):
             x = auto.mult_const(ctx, ct, 1.0 / bound_b)
-            x = cheb.eval_chebyshev_series(ctx, x, rlk, coeffs, -1.0, 1.0)
+            x = cheb.eval_chebyshev_series(ctx, x, key, coeffs, -1.0, 1.0)
             for _ in range(log_b - log_lam):
-                x = auto.eval_square_auto(ctx, x, rlk)
-            cts.append(x)
-            sum_ct = x if sum_ct is None else auto.eval_add_auto(ctx, sum_ct, x)
-        sum_ct = auto.mult_const(ctx, sum_ct, -1.0 / bound_r)
-        sum_ct = auto.add_const(ctx, sum_ct, 2.0)
-        temp = auto.add_const(ctx, sum_ct, -1.0)
-        for _ in range(goldschmidt_d):
-            temp = auto.eval_square_auto(ctx, temp, rlk)
-            temp2 = auto.add_const(ctx, temp, 1.0)
-            sum_ct = auto.eval_mult_auto(ctx, sum_ct, temp2, rlk)
-        out = [auto.eval_mult_auto(ctx, ct, sum_ct, rlk) for ct in cts]
-        return TensorCT(out, t.width, t.slotstr)
+                x = auto.eval_square_auto(ctx, x, key)
+            return x
+
+        exp_t = self._vmap_channels(
+            ("_smax_exp", bound_b, gumbel_lambda), exp_stage, t, rlk
+        )
+
+        # channel sum + Goldschmidt reciprocal: one program (the exp
+        # outputs share metadata, so the channel sum is a plain mod add)
+        def invsum_stage(stk, key):
+            level = ctx.level(stk.chain_index)
+            d = stk.data
+            total = d[0]
+            for i in range(1, t.num_ch):
+                total = ev.w64.add_mod(total, d[i], level.mod.q)
+            s = _index_stacked(stk, 0).with_data(total)
+            s = auto.mult_const(ctx, s, -1.0 / bound_r)
+            s = auto.add_const(ctx, s, 2.0)
+            tmp = auto.add_const(ctx, s, -1.0)
+            for _ in range(goldschmidt_d):
+                tmp = auto.eval_square_auto(ctx, tmp, key)
+                tmp2 = auto.add_const(ctx, tmp, 1.0)
+                s = auto.eval_mult_auto(ctx, s, tmp2, key)
+            return s
+
+        inv_fn = self._stage_jit(
+            ("_smax_inv", bound_r, goldschmidt_d, t.num_ch), invsum_stage
+        )
+        sum_ct = inv_fn(stack_cts(exp_t.cts), rlk)
+
+        return self._vmap_channels(
+            ("_smax_mul",),
+            lambda ct, s, key: auto.eval_mult_auto(ctx, ct, s, key),
+            exp_t, sum_ct, rlk,
+        )
 
     def avg_pool_full_con(
         self, t: TensorCT, weight: np.ndarray, bias: np.ndarray
@@ -914,11 +968,9 @@ class DNN:
                 )
             return acc
 
-        pool_fn = self._stage_jit(
-            ("_pool_sum", steps),
-            jax.vmap(pool_stage, in_axes=(0, None)),
-        )
-        summed = pool_fn(stack_cts(cts), keys)
+        summed_list = self._vmap_cts(("_pool_sum", steps), pool_stage,
+                                     cts, keys)
+        summed = stack_cts(summed_list)
 
         # stage 2: FC = modular matvec over the channel axis with the CRT
         # weight lifts shipped as arguments (GetElementForEvalMult residues,
@@ -989,14 +1041,21 @@ class DNN:
             raise ValueError("TensorCT dimension mismatch in add")
         from ..scheme.ciphertext import stack_cts, unstack_cts
 
-        # one vmapped program for the whole residual add (per-channel eager
-        # adds cost a tunnel dispatch each); eval_add_auto's level/depth
-        # adjustment branches on metadata, which stack_cts guarantees is
-        # uniform per tensor
-        add_fn = self._stage_jit(
-            ("_tensor_add",),
-            jax.vmap(lambda x, y: auto.eval_add_auto(self.ctx, x, y),
-                     in_axes=(0, 0)),
-        )
-        out = add_fn(stack_cts(a.cts), stack_cts(b.cts))
-        return TensorCT(unstack_cts(out, a.num_ch), a.width, a.slotstr)
+        # vmapped programs for the residual add (per-channel eager adds
+        # cost a tunnel dispatch each), chunked to the channel budget;
+        # eval_add_auto's level/depth adjustment branches on metadata,
+        # which stack_cts guarantees is uniform per chunk
+        bs = self.channel_batch(a.num_ch)
+        outs = []
+        for c0 in range(0, a.num_ch, bs):
+            ca = a.cts[c0:c0 + bs]
+            cb = b.cts[c0:c0 + bs]
+            add_fn = self._stage_jit(
+                ("_tensor_add", len(ca)),
+                jax.vmap(lambda x, y: auto.eval_add_auto(self.ctx, x, y),
+                         in_axes=(0, 0)),
+            )
+            outs.extend(
+                unstack_cts(add_fn(stack_cts(ca), stack_cts(cb)), len(ca))
+            )
+        return TensorCT(outs, a.width, a.slotstr)
