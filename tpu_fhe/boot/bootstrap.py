@@ -632,7 +632,31 @@ class CkksBootstrapper:
 
     def _sine_jit(self, coefficients: tuple[float, ...],
                   batched: bool = False):
+        import os
+
         import jax
+
+        if os.environ.get("TPU_FHE_BOOT_SINE_SPLIT", "") == "1":
+            # two stage programs instead of one: the single sine program's
+            # transient peak (PS basis towers + recursion live ranges +
+            # double-angle squares together) is what crosses 16 GB at the
+            # full-scale ResNet config (r05 measurements); splitting lets
+            # XLA free the Chebyshev working set before the double-angle
+            # iterations allocate theirs
+            def cheb_part(ct, mul_key):
+                out = cheb.eval_chebyshev_series(
+                    self.ctx, ct, mul_key, list(coefficients), -1.0, 1.0
+                )
+                return auto.mod_reduce(self.ctx, out, 1)
+
+            def da_part(ct, mul_key):
+                return self.apply_double_angle(ct, self.r_iters, mul_key)
+
+            f1 = self._glue_jit(("_sine_cheb", coefficients), cheb_part,
+                                batched, (0, None))
+            f2 = self._glue_jit(("_sine_da", self.r_iters), da_part,
+                                batched, (0, None))
+            return lambda ct, mul_key: f2(f1(ct, mul_key), mul_key)
 
         def sine(ct, mul_key):
             out = cheb.eval_chebyshev_series(
