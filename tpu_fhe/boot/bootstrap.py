@@ -550,14 +550,22 @@ class CkksBootstrapper:
 
         import jax as _jax
 
+        import numpy as _np
+
+        def _fetch(tree):
+            # D2H fetch of a few elements: the only reliable completion
+            # barrier on the axon tunnel (block_until_ready returns after
+            # dispatch there — observed: a 2.6 ms "sine" at logN=16)
+            for x in _jax.tree_util.tree_leaves(tree):
+                if hasattr(x, "ndim"):
+                    _np.asarray(x.reshape(-1)[:2])
+                    break
+
         def timed(*a, **k):
-            _jax.block_until_ready([
-                x for x in _jax.tree_util.tree_leaves((a, k))
-                if hasattr(x, "block_until_ready")
-            ])
+            _fetch((a, k))
             t0 = _t.perf_counter()
             out = fn(*a, **k)
-            _jax.block_until_ready(out)
+            _fetch(out)
             print(f"[boot-stage] {name}: "
                   f"{(_t.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
             return out

@@ -30,14 +30,19 @@ from ..scheme.keys import GaloisKey, RelinKey, SecretKey, PublicKey, encrypt_asy
 
 
 def _block(x):
-    """Block on a pytree of device arrays and return it.
+    """Barrier on a pytree of device arrays and return it.
 
     Every stage timing / Timer bucket in this module wraps device work in
-    JAX's async dispatch; without a block the printed time measures only
+    JAX's async dispatch; without a barrier the printed time measures only
     dispatch (the reference's cudaEvent timers measure device compute,
-    include/timer.h:38-177).  A stage print must never show 0.0s for real
-    device work."""
-    jax.block_until_ready(x)
+    include/timer.h:38-177).  On the axon tunnel block_until_ready returns
+    after dispatch, so the barrier is a tiny D2H fetch of the LAST leaf
+    (the execution queue is serial: its completion implies the rest)."""
+    import numpy as _np
+
+    leaves = [v for v in jax.tree_util.tree_leaves(x) if hasattr(v, "ndim")]
+    if leaves:
+        _np.asarray(leaves[-1].reshape(-1)[:2])
     return x
 
 
