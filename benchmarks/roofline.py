@@ -140,7 +140,11 @@ def main():
         )
         return trials[1]
 
-    B = 8  # bytes per residue word (u32 pair)
+    # bytes per residue word: q32 residues live in one compact u32 plane
+    # end-to-end since r05 (ops return W64(lo, None)); the 60-bit regime
+    # moves (lo, hi) pairs.  r03/r04 counted 8 B for q32 too — divide
+    # their % figures by 2 when comparing.
+    B = 4 if args.data_bits <= 30 else 8
     kernels = []
 
     # forward NTT over all L limbs: in + out

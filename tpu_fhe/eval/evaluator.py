@@ -106,11 +106,16 @@ def multiply(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     _ = _check_level(a, b)
     level = ctx.level(a.chain_index)
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    if ctx.is_q32:
+        c32 = q32_mul_consts_for(level)
+        mul = lambda x, y: mm.mul_mod_q32(x, y, c32)  # noqa: E731
+    else:
+        mul = lambda x, y: mm.mul_mod(x, y, q, rlo, rhi)  # noqa: E731
     m, n = a.size, b.size
     comps: list = [None] * (m + n - 1)
     for i in range(m):
         for j in range(n):
-            t = mm.mul_mod(a.data[i], b.data[j], q, rlo, rhi)
+            t = mul(a.data[i], b.data[j])
             k = i + j
             comps[k] = t if comps[k] is None else mm.add_mod(comps[k], t, q)
     return replace(
@@ -124,10 +129,15 @@ def multiply(ctx: FheContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 def square(ctx: FheContext, a: Ciphertext) -> Ciphertext:
     level = ctx.level(a.chain_index)
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
+    if ctx.is_q32:
+        c32 = q32_mul_consts_for(level)
+        mul = lambda x, y: mm.mul_mod_q32(x, y, c32)  # noqa: E731
+    else:
+        mul = lambda x, y: mm.mul_mod(x, y, q, rlo, rhi)  # noqa: E731
     a0, a1 = a.data[0], a.data[1]
-    c0 = mm.mul_mod(a0, a0, q, rlo, rhi)
-    c2 = mm.mul_mod(a1, a1, q, rlo, rhi)
-    cross = mm.mul_mod(a0, a1, q, rlo, rhi)
+    c0 = mul(a0, a0)
+    c2 = mul(a1, a1)
+    cross = mul(a0, a1)
     cross = mm.add_mod(cross, cross, q)
     return replace(
         a,
@@ -140,7 +150,12 @@ def square(ctx: FheContext, a: Ciphertext) -> Ciphertext:
 def multiply_plain(ctx: FheContext, a: Ciphertext, pt: Plaintext) -> Ciphertext:
     level = ctx.level(a.chain_index)
     q, rlo, rhi = level.mod.q, level.mod.ratio_lo, level.mod.ratio_hi
-    data = mm.mul_mod(a.data, pt.data[None], q, rlo, rhi)
+    pt_data = pt.data if isinstance(pt.data, W64) else W64(pt.data, None)
+    if ctx.is_q32:
+        data = mm.mul_mod_q32(a.data, pt_data[None],
+                              q32_mul_consts_for(level))
+    else:
+        data = mm.mul_mod(a.data, pt_data[None], q, rlo, rhi)
     return replace(
         a,
         data=data,
@@ -158,6 +173,29 @@ def _check_level(a: Ciphertext, b: Ciphertext) -> int:
 # --------------------------------------------------------------------------
 # hybrid key switching (the hot path)
 # --------------------------------------------------------------------------
+
+
+_Q32MUL_CACHE: dict = {}
+
+
+def q32_mul_consts_for(level: ContextLevel, ext: bool = False):
+    """Cached single-word multiply constants (w64.q32_mul_consts) for a
+    level's Ql (or extended QlP) basis."""
+    got = _Q32MUL_CACHE.get((id(level), ext))
+    if got is not None:
+        return got[1]
+    from ..utils.device import host_np
+
+    if ext:
+        qv = np.concatenate(
+            [host_np(level.mod.q), host_np(level.ks.p_mod.q)]
+        ).reshape(-1)
+    else:
+        qv = host_np(level.mod.q).reshape(-1)
+    consts = w64.q32_mul_consts(qv)
+    _Q32MUL_CACHE[(id(level), ext)] = (level, consts)
+    return consts
+
 
 _MESH_MODUP_CACHE: dict = {}
 

@@ -104,8 +104,14 @@ def eval_mult_ext(ctx: FheContext, ct_ext: Ciphertext, pt_ext: Plaintext) -> Cip
     if not isinstance(pt_data, W64):
         # compact q32 plaintext (u32 lo plane only): re-wrap in-program —
         # the zero hi never lives in HBM
-        pt_data = W64(pt_data, jnp.zeros_like(pt_data))
-    data = mm.mul_mod(ct_ext.data, pt_data[None], q, rlo, rhi)
+        pt_data = W64(pt_data, None)
+    if ctx.is_q32:
+        from .evaluator import q32_mul_consts_for
+
+        data = mm.mul_mod_q32(ct_ext.data, pt_data[None],
+                              q32_mul_consts_for(level, ext=True))
+    else:
+        data = mm.mul_mod(ct_ext.data, pt_data[None], q, rlo, rhi)
     return replace(
         ct_ext,
         data=data,
