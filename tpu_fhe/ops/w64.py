@@ -389,7 +389,9 @@ def q32_mul_consts(q_vals: "np.ndarray"):
     c32s = (c32 << np.uint64(32)) // q
 
     def u32c(v):
-        return jnp.asarray(v.astype(np.uint32))
+        # HOST arrays on purpose: these are cached across jit traces
+        # (jnp constants created inside one trace would leak tracers)
+        return v.astype(np.uint32)
 
     return u32c(q), u32c(ws_one), u32c(c32), u32c(c32s)
 
